@@ -1,0 +1,169 @@
+"""Configuration system for the TPU-native Mask R-CNN framework.
+
+Field-for-field mirror of the reference config (reference: config.py:19-204)
+so users of the reference can diff settings directly, plus TPU runtime fields
+(mesh shape, per-chip batch, dtypes) that the reference never had.
+
+Unlike the reference's mutable class-attribute scheme, configs here are
+frozen dataclasses: everything a jitted function needs is static and
+hashable, so a Config can be a `static_argnum` to `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Base configuration (reference: config.py:19-171).
+
+    All names match the reference. Computed attributes (BATCH_SIZE,
+    IMAGE_SHAPE, BACKBONE_SHAPES) are properties instead of `__init__`
+    mutations.
+    """
+
+    NAME: str = "base"
+
+    # Replaces the reference GPU_COUNT knob (config.py:30): number of
+    # devices in the data-parallel mesh axis.
+    NUM_DEVICES: int = 1
+    IMAGES_PER_DEVICE: int = 1
+
+    STEPS_PER_EPOCH: int = 1000
+    VALIDATION_STEPS: int = 50
+
+    BACKBONE: str = "resnet101"  # "resnet50" | "resnet101"
+    BACKBONE_STRIDES: Tuple[int, ...] = (4, 8, 16, 32, 64)
+
+    NUM_CLASSES: int = 1
+
+    RPN_ANCHOR_SCALES: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    RPN_ANCHOR_RATIOS: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    RPN_ANCHOR_STRIDE: int = 1
+
+    RPN_NMS_THRESHOLD: float = 0.7
+    # ROIs kept after NMS (reference: config.py:76). Also used as the
+    # static pre-NMS top-k (reference model.py:1345 uses min(500, anchors)).
+    RPN_NMS_MAX_ROIS_NUM: int = 500
+    RPN_TRAIN_ANCHORS_PER_IMAGE: int = 128
+
+    IMAGE_MIN_DIM: int = 800
+    IMAGE_MAX_DIM: int = 1024
+    IMAGE_PADDING: bool = True
+
+    MEAN_PIXEL: Tuple[float, float, float] = (123.7, 116.8, 103.9)
+
+    TRAIN_ROIS_PER_IMAGE: int = 100
+    ROI_POSITIVE_RATIO: float = 0.33
+
+    POOL_SIZE: int = 7
+    MASK_POOL_SIZE: int = 14
+    MASK_SHAPE: Tuple[int, int] = (28, 28)
+
+    MAX_GT_INSTANCES: int = 50
+
+    RPN_BBOX_STD_DEV: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    BBOX_STD_DEV: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+
+    DETECTION_MAX_INSTANCES: int = 50
+    DETECTION_MIN_CONFIDENCE: float = 0.7
+    DETECTION_NMS_THRESHOLD: float = 0.3
+
+    LEARNING_RATE: float = 0.001
+    LEARNING_MOMENTUM: float = 0.9
+    WEIGHT_DECAY: float = 0.0001
+
+    USE_RPN_ROIS: bool = True
+
+    # ---- TPU-specific fields (no reference equivalent) ----
+    # Compute dtype for the backbone/heads ("bfloat16" keeps the MXU fed;
+    # geometry ops always run in float32).
+    COMPUTE_DTYPE: str = "bfloat16"
+    # Mesh axis name for data parallelism.
+    MESH_AXIS_DP: str = "dp"
+
+    # ---- computed attributes (reference: config.py:145-164) ----
+    @property
+    def BATCH_SIZE(self) -> int:
+        return self.IMAGES_PER_DEVICE * max(self.NUM_DEVICES, 1)
+
+    @property
+    def IMAGE_SHAPE(self) -> Tuple[int, int, int]:
+        return (self.IMAGE_MAX_DIM, self.IMAGE_MAX_DIM, 3)
+
+    @property
+    def BACKBONE_SHAPES(self) -> Tuple[Tuple[int, int], ...]:
+        return tuple(
+            (int(math.ceil(self.IMAGE_SHAPE[0] / stride)),
+             int(math.ceil(self.IMAGE_SHAPE[1] / stride)))
+            for stride in self.BACKBONE_STRIDES)
+
+    @property
+    def NUM_ANCHORS(self) -> int:
+        a = len(self.RPN_ANCHOR_RATIOS)
+        total = 0
+        for (h, w) in self.BACKBONE_SHAPES:
+            hh = len(range(0, h, self.RPN_ANCHOR_STRIDE))
+            ww = len(range(0, w, self.RPN_ANCHOR_STRIDE))
+            total += hh * ww * a
+        return total
+
+    # Static pre-NMS top-k (reference: model.py:1345).
+    @property
+    def PRE_NMS_LIMIT(self) -> int:
+        return min(self.RPN_NMS_MAX_ROIS_NUM, self.NUM_ANCHORS)
+
+    def display(self) -> str:
+        """Dump config (reference: config.py:166-171)."""
+        lines = ["Configurations:"]
+        for f in dataclasses.fields(self):
+            lines.append("{:30} {}".format(f.name, getattr(self, f.name)))
+        for name in ("BATCH_SIZE", "IMAGE_SHAPE", "BACKBONE_SHAPES",
+                     "NUM_ANCHORS"):
+            lines.append("{:30} {}".format(name, getattr(self, name)))
+        text = "\n".join(lines)
+        print(text)
+        return text
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class CocoConfig(Config):
+    """COCO training config (reference: config.py:174-197)."""
+
+    NAME: str = "coco"
+    IMAGES_PER_DEVICE: int = 1
+    NUM_CLASSES: int = 1 + 80
+
+
+@dataclasses.dataclass(frozen=True)
+class CocoInferenceConfig(CocoConfig):
+    """COCO inference config (reference: config.py:199-204).
+
+    DETECTION_MIN_CONFIDENCE=0 matches the reference eval protocol.
+    """
+
+    NUM_DEVICES: int = 1
+    IMAGES_PER_DEVICE: int = 1
+    DETECTION_MIN_CONFIDENCE: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TestConfig(CocoConfig):
+    """Tiny config for fast CPU tests: 128px images, ~3k anchors."""
+
+    NAME: str = "test"
+    IMAGE_MIN_DIM: int = 128
+    IMAGE_MAX_DIM: int = 128
+    RPN_ANCHOR_SCALES: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    RPN_NMS_MAX_ROIS_NUM: int = 64
+    TRAIN_ROIS_PER_IMAGE: int = 16
+    MAX_GT_INSTANCES: int = 8
+    DETECTION_MAX_INSTANCES: int = 8
+    RPN_TRAIN_ANCHORS_PER_IMAGE: int = 32
+    COMPUTE_DTYPE: str = "float32"
