@@ -10,6 +10,6 @@ on-device geometry kernels, pjit data parallelism over a device mesh.
 __version__ = "0.1.0"
 
 from maskrcnn_tpu.config import (CocoConfig, CocoInferenceConfig, Config,
-                                 TestConfig)
+                                 TinyConfig)
 
-__all__ = ["Config", "CocoConfig", "CocoInferenceConfig", "TestConfig"]
+__all__ = ["Config", "CocoConfig", "CocoInferenceConfig", "TinyConfig"]

@@ -154,10 +154,11 @@ class CocoInferenceConfig(CocoConfig):
 
 
 @dataclasses.dataclass(frozen=True)
-class TestConfig(CocoConfig):
+class TinyConfig(CocoConfig):
     """Tiny config for fast CPU tests: 128px images, ~3k anchors."""
 
     NAME: str = "test"
+    BACKBONE: str = "resnet50"
     IMAGE_MIN_DIM: int = 128
     IMAGE_MAX_DIM: int = 128
     RPN_ANCHOR_SCALES: Tuple[int, ...] = (8, 16, 32, 64, 128)

@@ -1,0 +1,6 @@
+"""Jitted detection pipelines (proposal layer, refinement, full predict)."""
+
+from maskrcnn_tpu.detection.pipeline import (Detections, mrn_refine,
+                                             predict_step, rpn_refine)
+
+__all__ = ["Detections", "mrn_refine", "predict_step", "rpn_refine"]

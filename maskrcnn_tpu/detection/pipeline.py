@@ -1,0 +1,199 @@
+"""End-to-end jitted detection pipeline.
+
+TPU-native rebuild of the reference inference path (reference:
+model.py:1095-1203 detect/predict, 1307-1382 rpn_refine, 1389-1487
+mrn_refine). Every stage is fixed-shape and stays on device; the
+reference's three host round-trips (CUDA-NMS bitmask scan, per-class NMS
+Python loop, PIL mask pasting) are gone.
+
+Dynamic-length results become padded tensors + validity masks:
+* proposals: [RPN_NMS_MAX_ROIS_NUM] rows, `proposal_valid` mask;
+* detections: [DETECTION_MAX_INSTANCES] rows, `valid` mask.
+Padded proposal rows are excluded from the final detection set via the
+validity mask — the reference never sees such rows because its lists are
+dynamically sized (documented deviation; results for valid rows match).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from maskrcnn_tpu.ops import boxes as box_ops
+from maskrcnn_tpu.ops import nms as nms_ops
+from maskrcnn_tpu.ops.image import normalize_image
+from maskrcnn_tpu.ops.mask_paste import paste_masks
+from maskrcnn_tpu.ops.roi_align import multilevel_roi_align
+
+
+class Detections(NamedTuple):
+    """Final per-image detections, padded to DETECTION_MAX_INSTANCES."""
+
+    class_ids: jnp.ndarray   # [D] int32 (0 = padding/background)
+    scores: jnp.ndarray      # [D] float32
+    boxes: jnp.ndarray       # [D, 4] float32, integral pixel coords
+    valid: jnp.ndarray       # [D] bool
+
+
+def rpn_refine(config: Config, anchors: jnp.ndarray,
+               rpn_probs: jnp.ndarray, rpn_bbox: jnp.ndarray):
+    """Proposal layer (reference: model.py:1307-1382), single image.
+
+    anchors: [A, 4] pixel coords; rpn_probs: [A, 2]; rpn_bbox: [A, 4].
+    Returns (proposals [R, 4] normalized, valid [R] bool),
+    R = RPN_NMS_MAX_ROIS_NUM.
+    """
+    scores = rpn_probs[:, 1]
+    deltas = rpn_bbox * jnp.asarray(config.RPN_BBOX_STD_DEV, jnp.float32)
+
+    # Pre-NMS top-k (model.py:1345-1350): k = min(500, A).
+    k = config.PRE_NMS_LIMIT
+    top_scores, order = jax.lax.top_k(scores, k)
+    boxes = box_ops.refine_boxes(anchors[order], deltas[order])
+
+    h, w = config.IMAGE_SHAPE[:2]
+    boxes = box_ops.clip_boxes(boxes, (0.0, 0.0, float(h), float(w)))
+
+    keep = nms_ops.nms_mask(boxes, jnp.ones((k,), jnp.bool_),
+                            config.RPN_NMS_THRESHOLD)
+
+    # Compact survivors (already score-ordered) to the front, pad to R.
+    r = config.RPN_NMS_MAX_ROIS_NUM
+    rank = jnp.where(keep, jnp.arange(k), k + jnp.arange(k))
+    take = jnp.argsort(rank)[:r]
+    valid = keep[take]
+    norm = jnp.asarray([h, w, h, w], jnp.float32)
+    proposals = jnp.where(valid[:, None], boxes[take] / norm, 0.0)
+    if r > k:
+        pad = r - k
+        proposals = jnp.pad(proposals, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    return proposals, valid
+
+
+def mrn_refine(config: Config, proposals: jnp.ndarray,
+               proposal_valid: jnp.ndarray, probs: jnp.ndarray,
+               deltas: jnp.ndarray, window: jnp.ndarray) -> Detections:
+    """Detection refinement (reference: model.py:1389-1487), single image.
+
+    proposals: [R, 4] normalized; probs: [R, K]; deltas: [R, K, 4];
+    window: [4] (y1, x1, y2, x2) pixel coords of the un-padded region.
+    """
+    r, num_classes = probs.shape
+    class_ids = jnp.argmax(probs, axis=1)
+    idx = jnp.arange(r)
+    class_scores = probs[idx, class_ids]
+    deltas_specific = deltas[idx, class_ids]
+
+    # model.py:1418-1422 uses RPN_BBOX_STD_DEV here (not BBOX_STD_DEV).
+    std = jnp.asarray(config.RPN_BBOX_STD_DEV, jnp.float32)
+    refined = box_ops.refine_boxes(proposals, deltas_specific * std)
+
+    h, w = config.IMAGE_SHAPE[:2]
+    boxes = refined * jnp.asarray([h, w, h, w], jnp.float32)
+    boxes = box_ops.clip_boxes(boxes, window)
+    # Round to ints before NMS (model.py:1432) — a reference quirk kept
+    # for score parity.
+    boxes = jnp.round(boxes)
+
+    keep = proposal_valid & (class_ids > 0)
+    if config.DETECTION_MIN_CONFIDENCE:
+        keep = keep & (class_scores >= config.DETECTION_MIN_CONFIDENCE)
+
+    # Global score sort, then per-class NMS via class offsets
+    # (replaces the per-class loop at model.py:1454-1475).
+    masked_scores = jnp.where(keep, class_scores, -1.0)
+    order = jnp.argsort(-masked_scores)
+    sboxes = boxes[order]
+    sclasses = class_ids[order]
+    svalid = keep[order]
+    nms_keep = nms_ops.multiclass_nms_mask(
+        sboxes, sclasses, svalid, config.DETECTION_NMS_THRESHOLD,
+        coord_span=float(max(h, w)))
+
+    # Top DETECTION_MAX_INSTANCES by score (model.py:1478-1480); the
+    # sorted survivors are already in score order.
+    d = config.DETECTION_MAX_INSTANCES
+    rank = jnp.where(nms_keep, jnp.arange(r), r + jnp.arange(r))
+    take = jnp.argsort(rank)[:d]
+    valid = nms_keep[take]
+    return Detections(
+        class_ids=jnp.where(valid, sclasses[take], 0).astype(jnp.int32),
+        scores=jnp.where(valid, masked_scores[order][take], 0.0),
+        boxes=jnp.where(valid[:, None], sboxes[take], 0.0),
+        valid=valid)
+
+
+def _pool_rois(feature_maps, boxes, pool_size, image_shape):
+    """vmap multilevel RoIAlign over the batch: [B, N, 4] -> [B,N,P,P,C]."""
+    mrn_feats = [f for f in feature_maps[:4]]  # P2..P5 only (model.py:1153)
+
+    def per_image(feats, b):
+        return multilevel_roi_align(feats, b, pool_size, image_shape)
+
+    return jax.vmap(per_image)(mrn_feats, boxes)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
+                 windows: jnp.ndarray) -> Dict[str, Any]:
+    """Batched end-to-end inference (reference: model.py:1140-1203).
+
+    images: [B, H, W, 3] uint8 (resized+padded canvas).
+    windows: [B, 4] float32 un-padded region per image.
+    Returns dict of padded detection tensors incl. full-image masks.
+    """
+    config = model.config
+    h, w = config.IMAGE_SHAPE[:2]
+
+    x = normalize_image(images, config.MEAN_PIXEL)
+    feats = model.backbone(params, x)
+    _, rpn_probs, rpn_bbox = model.rpn_detect(params, feats)
+
+    anchors = jnp.asarray(model.anchors())
+    proposals, pvalid = jax.vmap(
+        lambda p, b: rpn_refine(config, anchors, p, b))(rpn_probs, rpn_bbox)
+
+    b, r = proposals.shape[:2]
+    pooled = _pool_rois(feats, proposals, config.POOL_SIZE,
+                        config.IMAGE_SHAPE)
+    _, mrn_probs, mrn_deltas = model.classify(
+        params, pooled.reshape(b * r, *pooled.shape[2:]))
+    mrn_probs = mrn_probs.reshape(b, r, -1)
+    mrn_deltas = mrn_deltas.reshape(b, r, config.NUM_CLASSES, 4)
+
+    det = jax.vmap(lambda p, v, pr, dl, win: mrn_refine(
+        config, p, v, pr, dl, win))(
+            proposals, pvalid, mrn_probs, mrn_deltas, windows)
+
+    # Mask head on final boxes normalized by image height
+    # (model.py:1188 divides by h only — square canvas).
+    mask_rois = det.boxes / float(h)
+    d = mask_rois.shape[1]
+    pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
+                          config.IMAGE_SHAPE)
+    mask_probs = model.predict_masks(
+        params, pooled_m.reshape(b * d, *pooled_m.shape[2:]))
+    mask_probs = mask_probs.reshape(b, d, *mask_probs.shape[1:])  # [B,D,28,28,K]
+
+    # Select each detection's class channel, then paste on device
+    # (replaces data.py:287-314 full_masks PIL loop).
+    sel = jnp.take_along_axis(
+        mask_probs, det.class_ids[:, :, None, None, None], axis=-1)
+    sel = sel[..., 0]  # [B, D, 28, 28]
+    full = jax.vmap(lambda m, bx: paste_masks(m, bx, h, w))(sel, det.boxes)
+    full = full & det.valid[:, :, None, None]
+
+    return {
+        "class_ids": det.class_ids,
+        "scores": det.scores,
+        "boxes": det.boxes,
+        "valid": det.valid,
+        "masks28": sel,
+        "masks": full,
+    }

@@ -1,0 +1,119 @@
+"""Mask R-CNN model bundle: modules + parameter init + stage API.
+
+The reference's `MaskRCNN(nn.Module)` orchestrator (reference:
+model.py:959-1747) mixes parameters, device transfers, file IO and the
+training loop in one class. Here the model is a plain bundle of pure
+flax modules over one parameter pytree; pipelines (detection/, train/)
+are functions of (model, params, inputs) that jit end-to-end.
+
+The per-stage reference surface used by explore.py (fpn -> rpn_detect ->
+rpn_refine -> mrn_detect -> mrn_refine, reference explore.py:67-105) stays
+individually callable: see `backbone`, `rpn`, and detection/pipeline.py's
+stage functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.models.fpn import FPN
+from maskrcnn_tpu.models.heads import BoxHead, MaskHead
+from maskrcnn_tpu.models.rpn import RPNHead
+from maskrcnn_tpu.ops.anchors import config_anchors
+
+Params = Dict[str, Any]
+
+
+def _dtype(config: Config):
+    return jnp.dtype(config.COMPUTE_DTYPE)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskRCNN:
+    """Immutable model bundle; hashable so it can be a jit static arg."""
+
+    config: Config
+
+    @property
+    def fpn(self) -> FPN:
+        return FPN(architecture=self.config.BACKBONE,
+                   dtype=_dtype(self.config))
+
+    @property
+    def rpn(self) -> RPNHead:
+        return RPNHead(
+            anchors_per_location=len(self.config.RPN_ANCHOR_RATIOS),
+            anchor_stride=self.config.RPN_ANCHOR_STRIDE,
+            dtype=_dtype(self.config))
+
+    @property
+    def box_head(self) -> BoxHead:
+        return BoxHead(num_classes=self.config.NUM_CLASSES,
+                       pool_size=self.config.POOL_SIZE,
+                       dtype=_dtype(self.config))
+
+    @property
+    def mask_head(self) -> MaskHead:
+        return MaskHead(num_classes=self.config.NUM_CLASSES,
+                        dtype=_dtype(self.config))
+
+    # ---- init ----
+    def init(self, rng: jax.Array) -> Params:
+        """Initialise all parameters (reference: model.py:974-1035)."""
+        cfg = self.config
+        k_fpn, k_rpn, k_box, k_mask = jax.random.split(rng, 4)
+        dummy = jnp.zeros((1, cfg.IMAGE_MAX_DIM, cfg.IMAGE_MAX_DIM, 3),
+                          jnp.float32)
+        fpn_params = self.fpn.init(k_fpn, dummy)
+        p2 = jnp.zeros((1, cfg.BACKBONE_SHAPES[0][0],
+                        cfg.BACKBONE_SHAPES[0][1], 256), jnp.float32)
+        rpn_params = self.rpn.init(k_rpn, p2)
+        pooled_box = jnp.zeros((1, cfg.POOL_SIZE, cfg.POOL_SIZE, 256),
+                               jnp.float32)
+        box_params = self.box_head.init(k_box, pooled_box)
+        pooled_mask = jnp.zeros(
+            (1, cfg.MASK_POOL_SIZE, cfg.MASK_POOL_SIZE, 256), jnp.float32)
+        mask_params = self.mask_head.init(k_mask, pooled_mask)
+        return {
+            "fpn": fpn_params["params"],
+            "rpn": rpn_params["params"],
+            "box_head": box_params["params"],
+            "mask_head": mask_params["params"],
+        }
+
+    # ---- stage API ----
+    def backbone(self, params: Params, images: jnp.ndarray) -> List:
+        """images [B, H, W, 3] float32 -> [P2..P6] (model.py:1145)."""
+        return self.fpn.apply({"params": params["fpn"]}, images)
+
+    def rpn_detect(self, params: Params, feature_maps: Sequence):
+        """All-level RPN outputs (model.py:1294-1304)."""
+        outs = [self.rpn.apply({"params": params["rpn"]}, p)
+                for p in feature_maps]
+        logits = jnp.concatenate([o[0] for o in outs], axis=1)
+        probs = jnp.concatenate([o[1] for o in outs], axis=1)
+        bbox = jnp.concatenate([o[2] for o in outs], axis=1)
+        return logits, probs, bbox
+
+    def classify(self, params: Params, pooled: jnp.ndarray):
+        """Box head over pooled [N, 7, 7, 256] (model.py:759-800)."""
+        return self.box_head.apply({"params": params["box_head"]}, pooled)
+
+    def predict_masks(self, params: Params, pooled: jnp.ndarray):
+        """Mask head over pooled [N, 14, 14, 256] (model.py:875-920)."""
+        return self.mask_head.apply({"params": params["mask_head"]}, pooled)
+
+    def anchors(self) -> np.ndarray:
+        """Pixel-space anchors [num_anchors, 4] (model.py:991-995)."""
+        return config_anchors(self.config)
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params))

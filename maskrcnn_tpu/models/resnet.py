@@ -1,0 +1,151 @@
+"""ResNet-50/101 backbone, TPU-native (flax, NHWC, bfloat16-friendly).
+
+Rebuilt from the reference architecture (reference: model.py:174-270
+Bottleneck/ResNet) with TPU idioms:
+
+* NHWC layout (XLA's native conv layout on TPU; the reference is NCHW);
+* BatchNorm is *frozen everywhere by construction* — the reference fixes
+  all BN params at build time (model.py:1010-1016) and forces BN into eval
+  mode even during training (model.py:1218-1223), so BN here is a pure
+  affine `x * scale + offset` computed from stored (weight, bias, mean,
+  var). XLA fuses it into the preceding convolution;
+* explicit padding tuples reproduce the reference's TF-style SamePad2d
+  (model.py:64-91) bit-for-bit on the 1024x1024 canvas.
+
+Parameter tree names mirror the reference module tree (C1..C5, conv1/bn1,
+downsample) so checkpoint conversion is mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from maskrcnn_tpu.models.common import Conv
+
+Dtype = Any
+
+# eps matches nn.BatchNorm2d(..., eps=0.001) (reference: model.py:180).
+BN_EPS = 1e-3
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-only BatchNorm: y = (x - mean) / sqrt(var + eps) * w + b.
+
+    Stores the four torch buffers/params verbatim (weight, bias,
+    running_mean, running_var) so converted checkpoints are 1:1
+    verifiable; the scale/offset fold happens at trace time and XLA
+    fuses it into the adjacent conv.
+    """
+
+    features: int
+    eps: float = BN_EPS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros,
+                          (self.features,))
+        var = self.param("running_var", nn.initializers.ones,
+                         (self.features,))
+        scale = weight / jnp.sqrt(var + self.eps)
+        offset = bias - mean * scale
+        return x * scale.astype(self.dtype) + offset.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1(stride) -> 3x3 -> 1x1(x4) bottleneck (reference: model.py:174-211).
+
+    The reference puts the stride on the 1x1 conv1 (model.py:179), not on
+    the 3x3 — preserved (it changes which pixels are sampled).
+    """
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                      padding="VALID", dtype=self.dtype, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        # SamePad2d(3,1) + Conv 3x3 (model.py:181-182) == pad (1,1).
+        out = Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = Conv(self.planes * 4, (1, 1), padding="VALID",
+                      dtype=self.dtype, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, dtype=self.dtype,
+                              name="bn3")(out)
+        if self.has_downsample:
+            residual = Conv(
+                self.planes * 4, (1, 1),
+                strides=(self.stride, self.stride), padding="VALID",
+                dtype=self.dtype, name="downsample_conv")(x)
+            residual = FrozenBatchNorm(
+                self.planes * 4, dtype=self.dtype,
+                name="downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetStage(nn.Module):
+    """A stack of bottlenecks (reference: model.py:251-270 make_layer)."""
+
+    planes: int
+    blocks: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.planes, self.stride, has_downsample=True,
+                       dtype=self.dtype, name="block0")(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, dtype=self.dtype,
+                           name=f"block{i}")(x)
+        return x
+
+
+class ResNet(nn.Module):
+    """ResNet backbone returning (C1out, C2out, C3out, C4out, C5out).
+
+    architecture: "resnet50" (3,4,6,3) or "resnet101" (3,4,23,3)
+    (reference: model.py:219).
+    """
+
+    architecture: str = "resnet101"
+    stage5: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.architecture in ("resnet50", "resnet101")
+        layers = {"resnet50": 6, "resnet101": 23}[self.architecture]
+
+        # C1 (reference: model.py:223-229): 7x7/2 pad 3, BN, relu,
+        # SamePad(3,2) -> pad (0,1) on the 512 grid, maxpool 3x3/2.
+        x = Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    dtype=self.dtype, name="C1_conv")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="C1_bn")(x)
+        x = nn.relu(x)
+        c1 = nn.max_pool(x, (3, 3), strides=(2, 2),
+                         padding=((0, 1), (0, 1)))
+
+        c2 = ResNetStage(64, 3, stride=1, dtype=self.dtype, name="C2")(c1)
+        c3 = ResNetStage(128, 4, stride=2, dtype=self.dtype, name="C3")(c2)
+        c4 = ResNetStage(256, layers, stride=2, dtype=self.dtype,
+                         name="C4")(c3)
+        if self.stage5:
+            c5 = ResNetStage(512, 3, stride=2, dtype=self.dtype,
+                             name="C5")(c4)
+        else:
+            c5 = None
+        return c1, c2, c3, c4, c5

@@ -1,0 +1,117 @@
+"""Detection pipeline tests: proposal layer semantics + e2e smoke.
+
+The proposal-layer oracle mirrors model.py:1307-1382 in numpy (sort,
+std-dev scale, refine, clip, reference NMS); mrn_refine is checked for
+its filtering/ordering contract.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maskrcnn_tpu.config import TinyConfig
+from maskrcnn_tpu.detection.pipeline import (mrn_refine, predict_step,
+                                             rpn_refine)
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from tests.test_nms import np_nms
+
+
+def np_rpn_refine(cfg, anchors, probs, bbox):
+    """Oracle of model.py:1307-1382 (dynamic shapes, numpy)."""
+    scores = probs[:, 1]
+    deltas = bbox * np.array(cfg.RPN_BBOX_STD_DEV)
+    order = np.argsort(-scores, kind="stable")[:cfg.PRE_NMS_LIMIT]
+    scores = scores[order]
+    d = deltas[order]
+    a = anchors[order]
+    h = a[:, 2] - a[:, 0]
+    w = a[:, 3] - a[:, 1]
+    cy = a[:, 0] + 0.5 * h + d[:, 0] * h
+    cx = a[:, 1] + 0.5 * w + d[:, 1] * w
+    h = h * np.exp(d[:, 2])
+    w = w * np.exp(d[:, 3])
+    boxes = np.stack([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], 1)
+    hh, ww = cfg.IMAGE_SHAPE[:2]
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, hh)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, ww)
+    keep = np_nms(np.concatenate([boxes, scores[:, None]], 1),
+                  cfg.RPN_NMS_THRESHOLD)
+    keep = np.sort(keep)[:cfg.RPN_NMS_MAX_ROIS_NUM]
+    return boxes[keep] / np.array([hh, ww, hh, ww])
+
+
+def test_rpn_refine_matches_oracle(rng):
+    cfg = TinyConfig()
+    model = MaskRCNN(cfg)
+    anchors = model.anchors()
+    n = anchors.shape[0]
+    fg = rng.rand(n).astype(np.float32)
+    probs = np.stack([1 - fg, fg], 1)
+    bbox = (rng.randn(n, 4) * 0.3).astype(np.float32)
+
+    want = np_rpn_refine(cfg, anchors, probs, bbox)
+    got, valid = jax.jit(
+        lambda p, b: rpn_refine(cfg, jnp.asarray(anchors), p, b))(
+            jnp.asarray(probs), jnp.asarray(bbox))
+    got = np.asarray(got)
+    valid = np.asarray(valid)
+    assert valid.sum() == len(want)
+    np.testing.assert_allclose(got[valid.astype(bool)], want,
+                               rtol=1e-4, atol=1e-5)
+    # padded rows are zero
+    np.testing.assert_allclose(got[~valid.astype(bool)], 0.0)
+
+
+def test_mrn_refine_contract(rng):
+    cfg = TinyConfig()
+    r, k = 32, cfg.NUM_CLASSES
+    proposals = np.zeros((r, 4), np.float32)
+    proposals[:, 0] = rng.uniform(0, 0.5, r)
+    proposals[:, 1] = rng.uniform(0, 0.5, r)
+    proposals[:, 2] = proposals[:, 0] + rng.uniform(0.1, 0.4, r)
+    proposals[:, 3] = proposals[:, 1] + rng.uniform(0.1, 0.4, r)
+    valid = np.ones(r, bool)
+    valid[-4:] = False
+    logits = rng.randn(r, k).astype(np.float32) * 3
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    deltas = (rng.randn(r, k, 4) * 0.1).astype(np.float32)
+    window = np.array([0, 0, cfg.IMAGE_MAX_DIM, cfg.IMAGE_MAX_DIM],
+                      np.float32)
+
+    det = jax.jit(lambda p, v, pr, d, w: mrn_refine(cfg, p, v, pr, d, w))(
+        proposals, valid, probs, deltas, window)
+
+    class_ids = np.asarray(det.class_ids)
+    scores = np.asarray(det.scores)
+    dvalid = np.asarray(det.valid)
+    boxes = np.asarray(det.boxes)
+    # valid rows first, sorted by descending score
+    kept = scores[dvalid]
+    assert (np.diff(kept) <= 1e-6).all()
+    assert (class_ids[dvalid] > 0).all()
+    # boxes are integral and inside the window
+    np.testing.assert_allclose(boxes, np.round(boxes))
+    assert boxes.min() >= 0 and boxes.max() <= cfg.IMAGE_MAX_DIM
+    # padded-proposal rows can never appear: scores of invalid rows are 0
+    assert (scores[~dvalid] == 0).all()
+
+
+@pytest.mark.slow
+def test_predict_step_smoke(rng):
+    cfg = TinyConfig()
+    model = MaskRCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    d = cfg.IMAGE_MAX_DIM
+    images = (rng.rand(1, d, d, 3) * 255).astype(np.uint8)
+    windows = np.array([[0, 0, d, d]], np.float32)
+    out = predict_step(model, params, jnp.asarray(images),
+                       jnp.asarray(windows))
+    assert out["class_ids"].shape == (1, cfg.DETECTION_MAX_INSTANCES)
+    assert out["boxes"].shape == (1, cfg.DETECTION_MAX_INSTANCES, 4)
+    assert out["masks"].shape == (1, cfg.DETECTION_MAX_INSTANCES, d, d)
+    assert out["masks"].dtype == jnp.bool_
+    # masks must be empty wherever detections are invalid
+    valid = np.asarray(out["valid"])
+    masks = np.asarray(out["masks"])
+    assert not masks[0][~valid[0]].any()
