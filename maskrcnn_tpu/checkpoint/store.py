@@ -1,0 +1,87 @@
+"""Orbax checkpointing with epoch metadata and resume discovery.
+
+Replaces the reference's torch.save-per-epoch + filename-regex resume
+(reference: model.py:1045-1093 set_log_dir/load_weights, 1575 save):
+checkpoints are orbax directories `epoch_<n>` under the run dir, and
+resume picks the highest epoch instead of regex-parsing dates out of
+file names.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def checkpoint_path(run_dir: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(run_dir), f"epoch_{epoch:04d}")
+
+
+def save_checkpoint(run_dir: str, params: Dict, epoch: int,
+                    config=None) -> str:
+    ocp = _ocp()
+    path = checkpoint_path(run_dir, epoch)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(params), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_epoch(run_dir: str) -> Optional[int]:
+    """Find the newest epoch checkpoint (replaces model.py:1059-1069)."""
+    if not os.path.isdir(run_dir):
+        return None
+    best = None
+    for name in os.listdir(run_dir):
+        m = re.fullmatch(r"epoch_(\d{4})", name)
+        if m:
+            e = int(m.group(1))
+            best = e if best is None else max(best, e)
+    return best
+
+
+def load_checkpoint(run_dir_or_path: str, params_like: Dict,
+                    epoch: Optional[int] = None) -> Tuple[Dict, int]:
+    """Load params (shape/dtype template = params_like). Returns
+    (params, epoch). If `run_dir_or_path` is a run dir, loads the given
+    or latest epoch."""
+    ocp = _ocp()
+    path = run_dir_or_path
+    if not os.path.basename(path).startswith("epoch_"):
+        e = epoch if epoch is not None else latest_epoch(path)
+        if e is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = checkpoint_path(path, e)
+    else:
+        e = int(os.path.basename(path).split("_")[1])
+    ckptr = ocp.StandardCheckpointer()
+    template = jax.tree_util.tree_map(np.asarray, jax.device_get(params_like))
+    params = ckptr.restore(os.path.abspath(path), template)
+    return params, e
+
+
+def load_params(path: str, params_like: Dict,
+                architecture: str = "resnet101") -> Dict:
+    """Polyglot load: .pth (torch) or orbax dir, shape-checked against
+    the template. Covers the reference CLI's --model flag surface
+    (coco.py:163-168)."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from maskrcnn_tpu.checkpoint.torch_convert import \
+            load_torch_checkpoint
+        params = load_torch_checkpoint(path, architecture)
+    else:
+        params, _ = load_checkpoint(path, params_like)
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, params_like)
+    got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
+    if ref_shapes != got_shapes:
+        raise ValueError("checkpoint shapes do not match the model")
+    return params

@@ -16,9 +16,12 @@ Conv = functools.partial(
     nn.Conv, kernel_init=nn.initializers.xavier_uniform(),
     bias_init=nn.initializers.zeros)
 
+# transpose_kernel=True gives torch ConvTranspose2d semantics exactly
+# (kernel [kh, kw, out, in], spatially flipped) — verified bit-exact in
+# tests/test_checkpoint.py.
 ConvT = functools.partial(
     nn.ConvTranspose, kernel_init=nn.initializers.xavier_uniform(),
-    bias_init=nn.initializers.zeros)
+    bias_init=nn.initializers.zeros, transpose_kernel=True)
 
 Dense = functools.partial(
     nn.Dense, kernel_init=nn.initializers.normal(stddev=0.01),

@@ -72,15 +72,11 @@ def _crop_from_levels(features: Sequence[jnp.ndarray],
                       boxes: jnp.ndarray,
                       pool_size: int,
                       lvl: jnp.ndarray) -> jnp.ndarray:
-    assert pool_size > 1
-    boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
     c = features[0].shape[-1]
-
     heights = np.array([f.shape[0] for f in features], np.float32)
     widths = np.array([f.shape[1] for f in features], np.float32)
     row_offsets = np.concatenate(
         [[0], np.cumsum([f.shape[0] * f.shape[1] for f in features])])
-    total_rows = int(row_offsets[-1])
 
     flat = jnp.concatenate(
         [f.reshape(-1, c) for f in features], axis=0)  # [R, C]
@@ -88,7 +84,20 @@ def _crop_from_levels(features: Sequence[jnp.ndarray],
     h_max = jnp.asarray(heights - 1.0)[lvl]                    # [N]
     w_max = jnp.asarray(widths - 1.0)[lvl]
     lvl_w = jnp.asarray(widths)[lvl]
-    lvl_off = jnp.asarray(row_offsets[:-1], jnp.float32)[lvl]
+    lvl_off = jnp.asarray(row_offsets[:-1].astype(np.float32))[lvl]
+    return _crop_core(flat, boxes, pool_size, h_max, w_max, lvl_w, lvl_off)
+
+
+def _crop_core(flat: jnp.ndarray, boxes: jnp.ndarray, pool_size: int,
+               h_max: jnp.ndarray, w_max: jnp.ndarray,
+               lvl_w: jnp.ndarray, lvl_off: jnp.ndarray) -> jnp.ndarray:
+    """Shared crop kernel over a flattened [R, C] row table.
+
+    h_max/w_max/lvl_w/lvl_off: per-box source-plane geometry [N].
+    """
+    assert pool_size > 1
+    boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
+    c = flat.shape[-1]
 
     y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     p = jnp.arange(pool_size, dtype=jnp.float32) / (pool_size - 1)  # [P]
@@ -151,3 +160,27 @@ def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray,
     """
     lvl = jnp.zeros((boxes.shape[0],), jnp.int32)
     return _crop_from_levels([image], boxes, crop_size, lvl)
+
+
+def indexed_crop_and_resize(images: jnp.ndarray, boxes: jnp.ndarray,
+                            box_indices: jnp.ndarray,
+                            crop_size: int) -> jnp.ndarray:
+    """crop_and_resize with a per-box image index (the reference op's full
+    signature: c++ext/maskrcnn/__init__.py:25-57 CropFunction(image, boxes,
+    box_ind)). Used for training mask targets where each sampled RoI crops
+    its assigned gt instance's mask (reference: model.py:497-503).
+
+    images: [G, H, W, C]; boxes: [N, 4] normalized; box_indices: [N] int32
+    in [0, G). Returns [N, crop_size, crop_size, C].
+    """
+    g, h, w, c = images.shape
+    # Treat the G images as G identically-shaped "levels" of one flat
+    # row table; the per-box level is the image index.
+    heights = np.full((g,), h, np.float32)
+    widths = np.full((g,), w, np.float32)
+    offsets = np.arange(g, dtype=np.float32) * (h * w)
+    return _crop_core(images.reshape(-1, c), boxes, crop_size,
+                      jnp.asarray(heights - 1.0)[box_indices],
+                      jnp.asarray(widths - 1.0)[box_indices],
+                      jnp.asarray(widths)[box_indices],
+                      jnp.asarray(offsets)[box_indices])

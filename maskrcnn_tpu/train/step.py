@@ -1,0 +1,146 @@
+"""Jitted training forward + loss + SGD update.
+
+TPU-native rebuild of the reference training internals:
+* forward = `extract` (reference: model.py:1205-1292) — backbone, RPN,
+  proposal layer, on-device target sampling, heads;
+* loss = 5-term sum (model.py:1623-1629);
+* update = SGD momentum 0.9, weight decay 1e-4 on non-BN params
+  (model.py:1542-1557), global-norm grad clip 5.0 (model.py:1633).
+
+One deliberate deviation: the loss is the *mean* over the batch, where the
+reference accumulates per-image gradients by summation over BATCH_SIZE
+single-image backward passes (model.py:1632-1637). At the reference's
+effective batch 1 they coincide; at larger batches mean+LR-scaling is the
+standard, numerically safer formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from maskrcnn_tpu.detection.pipeline import _pool_rois, rpn_refine
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from maskrcnn_tpu.ops.image import normalize_image
+from maskrcnn_tpu.train import losses as L
+from maskrcnn_tpu.train.targets import mrn_targets, rpn_targets
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
+    """Full training forward pass -> 5-term loss.
+
+    batch dict (all fixed shapes, B = per-call batch):
+      images:       [B, H, W, 3] uint8 canvas
+      gt_class_ids: [B, G] int32 (negative = crowd, 0 = padding)
+      gt_boxes:     [B, G, 4] float32 pixel canvas coords
+      gt_masks:     [B, G, H, W] uint8 {0,1}
+      gt_valid:     [B, G] bool
+    """
+    config = model.config
+    h, w = config.IMAGE_SHAPE[:2]
+    b = batch["images"].shape[0]
+
+    x = normalize_image(batch["images"], config.MEAN_PIXEL)
+    feats = model.backbone(params, x)
+    rpn_logits, rpn_probs, rpn_bbox = model.rpn_detect(params, feats)
+
+    anchors = jnp.asarray(model.anchors())
+    keys = jax.random.split(key, 2 * b)
+    rpn_keys, mrn_keys = keys[:b], keys[b:]
+
+    rpn_tgt = jax.vmap(
+        lambda k, c, bx, v: rpn_targets(config, k, anchors, c, bx, v))(
+            rpn_keys, batch["gt_class_ids"], batch["gt_boxes"],
+            batch["gt_valid"])
+
+    proposals, pvalid = jax.vmap(
+        lambda p, d: rpn_refine(config, anchors, p, d))(rpn_probs, rpn_bbox)
+
+    norm = jnp.asarray([h, w, h, w], jnp.float32)
+    gt_boxes_norm = batch["gt_boxes"] / norm  # model.py:1258-1259
+
+    mrn_tgt = jax.vmap(
+        lambda k, p, pv, c, bx, m, v: mrn_targets(config, k, p, pv, c, bx,
+                                                  m, v))(
+            mrn_keys, proposals, pvalid, batch["gt_class_ids"],
+            gt_boxes_norm, batch["gt_masks"], batch["gt_valid"])
+    # Targets are constants w.r.t. the params — the reference detaches
+    # them (model.py:484 boxes_deltas on .data, model.py:502 .data crop).
+    # Without this, gradients flow through log()/div of degenerate padded
+    # boxes and poison the whole step with NaN.
+    mrn_tgt = jax.tree_util.tree_map(jax.lax.stop_gradient, mrn_tgt)
+
+    t = config.TRAIN_ROIS_PER_IMAGE
+    pooled = _pool_rois(feats, mrn_tgt.rois, config.POOL_SIZE,
+                        config.IMAGE_SHAPE)
+    mrn_logits, _, mrn_deltas = model.classify(
+        params, pooled.reshape(b * t, *pooled.shape[2:]))
+    mrn_logits = mrn_logits.reshape(b, t, -1)
+    mrn_deltas = mrn_deltas.reshape(b, t, config.NUM_CLASSES, 4)
+
+    pooled_m = _pool_rois(feats, mrn_tgt.rois, config.MASK_POOL_SIZE,
+                          config.IMAGE_SHAPE)
+    pred_masks = model.predict_masks(
+        params, pooled_m.reshape(b * t, *pooled_m.shape[2:]))
+    pred_masks = pred_masks.reshape(b, t, *pred_masks.shape[1:])
+
+    l_rpn_c = L.rpn_class_loss(rpn_tgt.rpn_match, rpn_logits)
+    l_rpn_b = L.rpn_box_loss(rpn_tgt.rpn_bbox, rpn_tgt.rpn_match, rpn_bbox)
+    l_mrn_c = L.mrn_class_loss(mrn_tgt.class_ids, mrn_logits, mrn_tgt.valid)
+    l_mrn_b = L.mrn_box_loss(mrn_tgt.class_ids, mrn_tgt.deltas, mrn_deltas,
+                             mrn_tgt.positive)
+    l_mask = L.mask_loss(mrn_tgt.class_ids, mrn_tgt.masks, pred_masks,
+                         mrn_tgt.positive)
+    total = l_rpn_c + l_rpn_b + l_mrn_c + l_mrn_b + l_mask
+    return L.Losses(total=total, rpn_class=l_rpn_c, rpn_box=l_rpn_b,
+                    mrn_class=l_mrn_c, mrn_box=l_mrn_b, mrn_mask=l_mask)
+
+
+def make_optimizer(config, learning_rate: float, decay_mask) -> optax.GradientTransformation:
+    """SGD + momentum + selective weight decay + grad clip.
+
+    Order matches torch exactly: clip grads (model.py:1633), add wd*param
+    for non-BN params (SGD weight_decay semantics, model.py:1550-1557),
+    momentum, lr.
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.add_decayed_weights(config.WEIGHT_DECAY, mask=decay_mask),
+        optax.trace(decay=config.LEARNING_MOMENTUM, nesterov=False),
+        optax.scale(-learning_rate),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def train_step(model: MaskRCNN, optimizer_and_mask, state: TrainState,
+               batch, key) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SGD step. optimizer_and_mask = (optax transform, trainable
+    mask pytree as a hashable static-free closure) — see trainer.py."""
+    optimizer, trainable_fn = optimizer_and_mask
+
+    def loss_fn(params):
+        losses = compute_losses(model, params, key, batch)
+        return losses.total, losses
+
+    grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+    # Freeze: zero non-trainable grads BEFORE clipping so the clip norm
+    # only sees trainable params (torch clips params-with-grad only).
+    trainable = trainable_fn(state.params)
+    grads = jax.tree_util.tree_map(
+        lambda g, t: g * jnp.asarray(t, g.dtype), grads, trainable)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state)
+    return new_state, losses.as_dict()

@@ -1,0 +1,160 @@
+"""Training driver: layer-freezing presets, stage schedule, epoch loop.
+
+Rebuild of the reference training surface (reference: model.py:1490-1747
+train_model/train_epoch/valid_epoch; coco.py:217-241 3-stage schedule).
+The per-step work is one jitted `train_step` on device; this module only
+orchestrates stages, learning rates, logging and checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from maskrcnn_tpu.train.step import (TrainState, compute_losses,
+                                     make_optimizer, train_step)
+
+# Layer presets (reference: model.py:1509-1523), translated from the
+# torch module names to our param-tree paths.
+LAYER_REGEX = {
+    "heads": r"(fpn/P[2-5]_.*)|(rpn/.*)|(box_head/.*)|(mask_head/.*)",
+    "3+": (r"(fpn/resnet/C[3-5]/.*)|(fpn/P[2-5]_.*)|(rpn/.*)"
+           r"|(box_head/.*)|(mask_head/.*)"),
+    "4+": (r"(fpn/resnet/C[4-5]/.*)|(fpn/P[2-5]_.*)|(rpn/.*)"
+           r"|(box_head/.*)|(mask_head/.*)"),
+    "5+": (r"(fpn/resnet/C5/.*)|(fpn/P[2-5]_.*)|(rpn/.*)"
+           r"|(box_head/.*)|(mask_head/.*)"),
+    "all": r".*",
+}
+
+
+def param_paths(params) -> List[str]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = []
+    for path, _ in flat:
+        out.append("/".join(str(getattr(k, "key", k)) for k in path))
+    return out
+
+
+def _is_bn(path: str) -> bool:
+    """BatchNorm params are never trainable (reference freezes them at
+    build: model.py:1010-1016, and set_trainable never re-enables)."""
+    return "bn" in path.lower()
+
+
+def trainable_mask(params, layer_regex: str):
+    """Bool pytree: True where the param receives gradient updates."""
+    pattern = re.compile(layer_regex)
+
+    def mask_one(path, _):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        return bool(pattern.fullmatch(p)) and not _is_bn(p)
+
+    return jax.tree_util.tree_map_with_path(mask_one, params)
+
+
+def decay_mask(params, layer_regex: str):
+    """Weight decay applies to trainable non-BN params only
+    (model.py:1542-1553); BN exclusion is implied by trainability."""
+    return trainable_mask(params, layer_regex)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Stage-wise trainer (reference: model.py:1490-1577 train_model)."""
+
+    model: MaskRCNN
+    checkpoint_dir: Optional[str] = None
+    log_every: int = 10
+
+    def __post_init__(self):
+        self.loss_history: List[Dict[str, float]] = []
+        self.val_loss_history: List[Dict[str, float]] = []
+        self.epoch = 0
+
+    def fit(self, params, train_iter: Iterable, learning_rate: float,
+            epochs: int, layers: str, rng: jax.Array,
+            val_iter: Optional[Iterable] = None,
+            steps_per_epoch: Optional[int] = None,
+            validation_steps: Optional[int] = None,
+            on_epoch_end: Optional[Callable] = None):
+        """Train until `epochs` total epochs, like the reference's
+        cumulative-epoch convention (model.py:1494-1497, 1559).
+        Returns the final params.
+        """
+        cfg = self.model.config
+        layer_regex = LAYER_REGEX.get(layers, layers)
+        steps_per_epoch = steps_per_epoch or cfg.STEPS_PER_EPOCH
+        validation_steps = validation_steps or cfg.VALIDATION_STEPS
+
+        # New optimizer per stage: momentum buffers reset exactly like the
+        # reference's fresh optim.SGD per train_model call (model.py:1550).
+        tmask = trainable_mask(params, layer_regex)
+        optimizer = make_optimizer(cfg, learning_rate,
+                                   decay_mask(params, layer_regex))
+        opt_and_mask = (optimizer, lambda p, _m=tmask: _m)
+        state = TrainState(step=np.int32(0), params=params,
+                           opt_state=optimizer.init(params))
+
+        for epoch in range(self.epoch + 1, epochs + 1):
+            t0 = time.time()
+            sums: Dict[str, float] = {}
+            for step in range(steps_per_epoch):
+                batch = next(train_iter)
+                rng, key = jax.random.split(rng)
+                state, metrics = train_step(self.model, opt_and_mask,
+                                            state, batch, key)
+                if (step + 1) % self.log_every == 0 or step == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(f"  epoch {epoch} step {step + 1}/"
+                          f"{steps_per_epoch} " +
+                          " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v) / steps_per_epoch
+            self.loss_history.append(sums)
+
+            if val_iter is not None:
+                vsums: Dict[str, float] = {}
+                for _ in range(validation_steps):
+                    batch = next(val_iter)
+                    rng, key = jax.random.split(rng)
+                    losses = jax.jit(
+                        compute_losses,
+                        static_argnums=(0,))(self.model, state.params,
+                                             key, batch)
+                    for k, v in losses.as_dict().items():
+                        vsums[k] = (vsums.get(k, 0.0)
+                                    + float(v) / validation_steps)
+                self.val_loss_history.append(vsums)
+
+            self.epoch = epoch
+            print(f"epoch {epoch} done in {time.time() - t0:.1f}s: "
+                  + " ".join(f"{k}={v:.4f}"
+                             for k, v in self.loss_history[-1].items()))
+            if self.checkpoint_dir:
+                from maskrcnn_tpu.checkpoint.store import save_checkpoint
+                save_checkpoint(self.checkpoint_dir, state.params,
+                                epoch, self.model.config)
+            if on_epoch_end is not None:
+                on_epoch_end(self, state.params)
+
+        return state.params
+
+    def fit_coco_schedule(self, params, train_iter, rng,
+                          val_iter=None, **kw):
+        """The reference 3-stage schedule (coco.py:217-241): heads to 40,
+        4+ to 120, all to 160 at LR/10."""
+        lr = self.model.config.LEARNING_RATE
+        params = self.fit(params, train_iter, lr, 40, "heads", rng,
+                          val_iter=val_iter, **kw)
+        params = self.fit(params, train_iter, lr, 120, "4+", rng,
+                          val_iter=val_iter, **kw)
+        params = self.fit(params, train_iter, lr / 10.0, 160, "all", rng,
+                          val_iter=val_iter, **kw)
+        return params

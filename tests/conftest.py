@@ -16,9 +16,17 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin force-registers itself and ignores JAX_PLATFORMS
+# from the environment; the config update below reliably pins tests to
+# the 8-virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: repeat suite runs skip XLA compiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/maskrcnn_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.default_backend() == "cpu"
+assert jax.device_count() >= 8, "virtual CPU mesh not active"
 
 
 @pytest.fixture

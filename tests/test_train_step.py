@@ -1,0 +1,138 @@
+"""Train-step tests: freezing, learning, and data-parallel equivalence.
+
+DP correctness is checked on the 8-virtual-device CPU mesh: one fused
+step over a sharded batch must match the single-device step on the same
+batch (same RNG), proving the psum/all-reduce insertion is semantically
+transparent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskrcnn_tpu.config import TinyConfig
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from maskrcnn_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                   replicate, shard_batch)
+from maskrcnn_tpu.train.step import TrainState, make_optimizer, train_step
+from maskrcnn_tpu.train.trainer import (LAYER_REGEX, decay_mask,
+                                        param_paths, trainable_mask)
+from tests.test_targets import make_gt
+
+
+def make_batch(cfg, rng, b):
+    d = cfg.IMAGE_MAX_DIM
+    g = cfg.MAX_GT_INSTANCES
+    images = (rng.rand(b, d, d, 3) * 255).astype(np.uint8)
+    cls = np.zeros((b, g), np.int32)
+    boxes = np.zeros((b, g, 4), np.float32)
+    valid = np.zeros((b, g), bool)
+    masks = np.zeros((b, g, d, d), np.uint8)
+    for i in range(b):
+        c, bx, v = make_gt(cfg, rng, 3)
+        cls[i], boxes[i], valid[i] = c, bx, v
+        for j in range(3):
+            y1, x1, y2, x2 = bx[j].astype(int)
+            masks[i, j, y1:y2, x1:x2] = 1
+    return {"images": images, "gt_class_ids": cls, "gt_boxes": boxes,
+            "gt_masks": masks, "gt_valid": valid}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TinyConfig()
+    model = MaskRCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def _opt(cfg, params, layers="all", lr=0.001):
+    regex = LAYER_REGEX[layers]
+    tmask = trainable_mask(params, regex)
+    opt = make_optimizer(cfg, lr, decay_mask(params, regex))
+    return (opt, lambda p, _m=tmask: _m), opt
+
+
+def test_freezing_heads_only(setup, rng):
+    cfg, model, params = setup
+    batch = make_batch(cfg, rng, 1)
+    opt_and_mask, opt = _opt(cfg, params, layers="heads")
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=opt.init(params))
+    new_state, metrics = train_step(model, opt_and_mask, state, batch,
+                                    jax.random.PRNGKey(1))
+    flat_old = dict(zip(param_paths(params),
+                        jax.tree_util.tree_leaves(params)))
+    flat_new = dict(zip(param_paths(new_state.params),
+                        jax.tree_util.tree_leaves(new_state.params)))
+    changed_backbone = [
+        p for p in flat_old
+        if p.startswith("fpn/resnet")
+        and not np.allclose(flat_old[p], flat_new[p])
+    ]
+    assert not changed_backbone, changed_backbone[:5]
+    # BN params never move, even under 'all'
+    opt_and_mask, opt = _opt(cfg, params, layers="all")
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=opt.init(params))
+    new_state, _ = train_step(model, opt_and_mask, state, batch,
+                              jax.random.PRNGKey(1))
+    flat_new = dict(zip(param_paths(new_state.params),
+                        jax.tree_util.tree_leaves(new_state.params)))
+    for p in flat_old:
+        if "bn" in p.lower():
+            assert np.allclose(flat_old[p], flat_new[p]), p
+        elif p.endswith("kernel"):
+            pass  # most kernels should move; spot-check below
+    moved = [p for p in flat_old
+             if "bn" not in p.lower()
+             and not np.allclose(flat_old[p], flat_new[p])]
+    assert len(moved) > 50
+
+
+def test_loss_decreases(setup, rng):
+    cfg, model, params = setup
+    batch = make_batch(cfg, rng, 1)
+    opt_and_mask, opt = _opt(cfg, params, layers="all", lr=0.002)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=opt.init(params))
+    first = None
+    key = jax.random.PRNGKey(42)
+    for i in range(6):
+        # fixed RNG -> fixed sampled targets, loss must go down
+        state, metrics = train_step(model, opt_and_mask, state, batch, key)
+        if first is None:
+            first = float(metrics["total"])
+    last = float(metrics["total"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_parallel_step_matches_single_device(setup, rng):
+    cfg, model, params = setup
+    b = 8
+    batch = make_batch(cfg, rng, b)
+    key = jax.random.PRNGKey(7)
+
+    opt_and_mask, opt = _opt(cfg, params, layers="heads")
+    state0 = TrainState(step=jnp.int32(0), params=params,
+                        opt_state=opt.init(params))
+    single_state, single_metrics = train_step(model, opt_and_mask, state0,
+                                              batch, key)
+
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(model, opt_and_mask, mesh)
+    state_r = replicate(
+        TrainState(step=jnp.int32(0), params=params,
+                   opt_state=opt.init(params)), mesh)
+    batch_s = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                          mesh)
+    par_state, par_metrics = pstep(state_r, batch_s, replicate(key, mesh))
+
+    np.testing.assert_allclose(float(single_metrics["total"]),
+                               float(par_metrics["total"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(single_state.params),
+                     jax.tree_util.tree_leaves(par_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
