@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Train / evaluate Mask R-CNN on MS COCO.
+
+Same argv surface as the reference CLI (reference: coco.py:142-254):
+
+    python coco.py train    --dataset /path/to/coco [--year 2014]
+                            [--model weights] [--logs dir]
+    python coco.py evaluate --dataset /path/to/coco [--limit 500]
+
+Training runs the reference 3-stage schedule (heads->40, 4+->120,
+all->160 @ LR/10; reference coco.py:217-241) over a data-parallel device
+mesh; evaluation reports COCO bbox then segm AP on the minival subset.
+"""
+
+import argparse
+import os
+
+import jax
+
+from maskrcnn_tpu.api import Detector
+from maskrcnn_tpu.config import CocoConfig, CocoInferenceConfig
+from maskrcnn_tpu.data.coco import CocoDataset
+from maskrcnn_tpu.data.pipeline import BatchLoader
+from maskrcnn_tpu.eval.evaluate import evaluate_coco
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from maskrcnn_tpu.train.trainer import Trainer
+
+DEFAULT_LOGS_DIR = os.path.join(os.getcwd(), "logs")
+DEFAULT_DATASET_YEAR = "2014"
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train/Eval Mask R-CNN Model on MS COCO.")
+    parser.add_argument("command", metavar="<command>",
+                        help="'train' or 'evaluate' on MS COCO")
+    parser.add_argument("--dataset", required=True,
+                        metavar="/path/to/coco/",
+                        help="Directory of the MS-COCO dataset")
+    parser.add_argument("--year", required=False,
+                        default=DEFAULT_DATASET_YEAR, metavar="<year>",
+                        help="Year of the MS-COCO dataset (default=2014)")
+    parser.add_argument("--model", required=False,
+                        default="models/mask_rcnn_coco.pth",
+                        metavar="/path/to/weights.pth",
+                        help="Path to weights (.pth or orbax dir)")
+    parser.add_argument("--logs", required=False, default=DEFAULT_LOGS_DIR,
+                        metavar="/path/to/logs/",
+                        help="Logs and checkpoints directory")
+    parser.add_argument("--limit", required=False, default=500,
+                        metavar="<image count>",
+                        help="Images to use for evaluation (default=500)")
+    parser.add_argument("--devices", required=False, default=None, type=int,
+                        help="Data-parallel device count (default: all)")
+    args = parser.parse_args()
+    print("Command: ", args.command)
+    print("Model: ", args.model)
+    print("Dataset: ", args.dataset)
+    print("Year: ", args.year)
+    print("Logs: ", args.logs)
+
+    n_dev = args.devices or jax.device_count()
+    if args.command == "train":
+        config = CocoConfig(NUM_DEVICES=n_dev)
+    else:
+        config = CocoInferenceConfig()
+    config.display()
+
+    if args.command == "train":
+        model = MaskRCNN(config)
+        params = model.init(jax.random.PRNGKey(0))
+        if os.path.exists(args.model):
+            from maskrcnn_tpu.checkpoint.store import load_params
+            params = load_params(args.model, params, config.BACKBONE)
+            print("Loaded weights ", args.model)
+
+        train_ds = CocoDataset(args.dataset, "train", args.year, config)
+        val_ds = CocoDataset(args.dataset, "minival", args.year, config)
+        train_iter = BatchLoader(train_ds, config.BATCH_SIZE)
+        val_iter = BatchLoader(val_ds, config.BATCH_SIZE)
+
+        trainer = Trainer(model, checkpoint_dir=args.logs)
+        trainer.fit_coco_schedule(params, train_iter,
+                                  jax.random.PRNGKey(1),
+                                  val_iter=val_iter)
+    elif args.command == "evaluate":
+        detector = Detector(config)
+        if os.path.exists(args.model):
+            detector.load_weights(args.model)
+            print("Loaded weights ", args.model)
+        else:
+            print("Weight file not found ...")
+        val_ds = CocoDataset(args.dataset, "minival", args.year, config)
+        limit = int(args.limit)
+        print(f"Running COCO evaluation on {limit} images.")
+        evaluate_coco(detector, val_ds, val_ds.coco, "bbox", limit=limit)
+        evaluate_coco(detector, val_ds, val_ds.coco, "segm", limit=limit)
+    else:
+        print(f"'{args.command}' is not recognized. "
+              "Use 'train' or 'evaluate'")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""High-level inference API: the reference's `model.detect()` surface.
+
+Wraps host preprocessing (PIL parity resize/pad), the jitted device
+pipeline, and host-side decode back to original image coordinates
+(reference: model.py:1095-1138 detect). Adds what the reference never
+had: true batched detection (`detect_batch`) — the reference asserts
+batch 1 everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.data.codecs import decode_boxes, decode_masks, resize_image
+from maskrcnn_tpu.detection.pipeline import predict_step
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+
+
+class Detector:
+    """Stateful convenience wrapper around the pure pipeline."""
+
+    def __init__(self, config: Config, params=None, rng_seed: int = 0):
+        self.config = config
+        self.model = MaskRCNN(config)
+        if params is None:
+            params = self.model.init(jax.random.PRNGKey(rng_seed))
+        self.params = params
+
+    def load_weights(self, path: str):
+        from maskrcnn_tpu.checkpoint.store import load_params
+        self.params = load_params(path, self.params,
+                                  self.config.BACKBONE)
+
+    def detect(self, image: np.ndarray):
+        """Single image -> (class_ids, scores, boxes, masks) in original
+        coords; returns (None, None, None, None) when nothing is found,
+        matching the reference contract (model.py:1120-1121)."""
+        out = self.detect_batch([image])[0]
+        if out is None:
+            return None, None, None, None
+        return out
+
+    def detect_batch(self, images: Sequence[np.ndarray]):
+        """Batched detection; one device round-trip for all images."""
+        cfg = self.config
+        canvases, windows, scales = [], [], []
+        for img in images:
+            canvas, window, scale = resize_image(
+                img, cfg.IMAGE_MIN_DIM, cfg.IMAGE_MAX_DIM)
+            canvases.append(canvas)
+            windows.append(window)
+            scales.append(scale)
+        batch = np.stack(canvases)
+        win = np.asarray(windows, np.float32)
+
+        out = predict_step(self.model, self.params, batch, win)
+        out = jax.device_get(out)
+
+        results = []
+        for i, img in enumerate(images):
+            valid = out["valid"][i]
+            n = int(valid.sum())
+            if n == 0:
+                results.append(None)
+                continue
+            class_ids = out["class_ids"][i][valid].tolist()
+            scores = out["scores"][i][valid].tolist()
+            boxes = decode_boxes(out["boxes"][i][valid], scales[i],
+                                 windows[i]).tolist()
+            masks = decode_masks(out["masks"][i][valid], scales[i],
+                                 windows[i], img.shape[0], img.shape[1])
+            results.append((class_ids, scores, boxes, masks))
+        return results

@@ -1,0 +1,209 @@
+"""COCO dataset reader + label mapping.
+
+Standalone (no torchvision/pycocotools): annotations come through our own
+COCO index (eval/coco_index.py). Mirrors the reference dataset surface
+(reference: data.py:594-884 CocoLabel / CocoMaskRCNNDataset,
+coco_annfile/coco_root at data.py:681-692 incl. the minival->val images
+rule) while producing the fixed-shape numpy batches the jitted train
+step consumes.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from maskrcnn_tpu.data.codecs import (encode_boxes, encode_masks,
+                                      resize_image)
+from maskrcnn_tpu.eval.coco_index import COCO
+
+# The 80 COCO categories in contiguous label order (label 0 = background).
+# Public COCO metadata (reference mirrors it at data.py:600-614).
+COCO_CLASS_NAMES = [
+    "BG", "person", "bicycle", "car", "motorcycle", "airplane", "bus",
+    "train", "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep",
+    "cow", "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush",
+]
+
+# Sparse COCO category ids in contiguous label order (data.py:667-678).
+COCO_CLASS_IDS = [
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40,
+    41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+    59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79,
+    80, 81, 82, 84, 85, 86, 87, 88, 89, 90,
+]
+
+_CLASS_TO_LABEL = {c: i for i, c in enumerate(COCO_CLASS_IDS)}
+
+
+class CocoLabel:
+    """Contiguous label <-> sparse COCO class id (data.py:594-678)."""
+
+    @classmethod
+    def name(cls, label_id: int) -> str:
+        return (COCO_CLASS_NAMES[label_id]
+                if label_id < len(COCO_CLASS_NAMES) else "BG")
+
+    @classmethod
+    def from_class(cls, class_id: int) -> int:
+        return _CLASS_TO_LABEL[class_id]
+
+    @classmethod
+    def to_class(cls, label_id: int) -> int:
+        return (COCO_CLASS_IDS[label_id]
+                if label_id < len(COCO_CLASS_IDS) else 0)
+
+
+def coco_annfile(root: str, subset: str, year: int = 2014) -> str:
+    """Annotation path rule (data.py:681-684)."""
+    return os.path.join(root, "annotations",
+                        f"instances_{subset}{year}.json")
+
+
+def coco_image_dir(root: str, subset: str, year: int = 2014) -> str:
+    """Image dir rule incl. minival->val (data.py:687-692)."""
+    if subset in ("minival", "valminusminival"):
+        subset = "val"
+    return os.path.join(root, f"{subset}{year}")
+
+
+class CocoDataset:
+    """COCO instance-segmentation dataset for training and eval.
+
+    Replaces the reference CocoMaskRCNNDataset (data.py:695-884); the
+    per-image RPN target sampling moved on-device (train/targets.py), so
+    __getitem__ only loads + encodes.
+    """
+
+    def __init__(self, root: str, subset: str, year: int, config,
+                 annfile: Optional[str] = None,
+                 image_dir: Optional[str] = None):
+        self.config = config
+        self.root = root
+        self.image_dir = image_dir or coco_image_dir(root, subset, year)
+        self.coco = COCO(annfile or coco_annfile(root, subset, year))
+        self.ids: List[int] = sorted(self.coco.imgs.keys())
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def set_filter(self, image_ids: List[int]):
+        """Restrict the dataset (reference data.py:739-741)."""
+        self.ids = list(image_ids)
+
+    def image_id(self, index: int) -> int:
+        return self.ids[index]
+
+    def image_index(self, image_id: int) -> int:
+        return self.ids.index(image_id)
+
+    def image_path(self, index: int) -> str:
+        info = self.coco.loadImgs([self.ids[index]])[0]
+        return os.path.join(self.image_dir, info["file_name"])
+
+    def class_id(self, label_id: int) -> int:
+        return CocoLabel.to_class(label_id)
+
+    def load_image(self, image_id: int) -> np.ndarray:
+        """RGB uint8 array (reference data.py:761-768)."""
+        img = Image.open(self.image_path(self.image_index(image_id)))
+        return np.asarray(img.convert("RGB"))
+
+    def load(self, index: int, hflip: bool = False):
+        """(image, label_ids, boxes, masks) in original coords
+        (reference data.py:797-876 incl. crowd negation, mask-extent
+        boxes, empty-image fallback)."""
+        image_id = self.ids[index]
+        image = np.asarray(
+            Image.open(self.image_path(index)).convert("RGB"))
+        anns = self.coco.loadAnns(self.coco.getAnnIds(imgIds=[image_id]))
+
+        flip = hflip and random.randint(0, 1)
+        if flip:
+            image = image[:, ::-1]
+
+        label_ids: List[int] = []
+        boxes: List[List[float]] = []
+        masks: List[np.ndarray] = []
+        h, w = image.shape[:2]
+        for ann in anns:
+            class_id = ann["category_id"]
+            label_id = CocoLabel.from_class(class_id)
+            if not label_id:
+                continue
+            m = self.coco.annToMask(ann)
+            if m.max() < 1:
+                continue
+            if ann.get("iscrowd"):
+                label_id = -label_id  # crowd marker (data.py:829-833)
+                if m.shape[0] != h or m.shape[1] != w:
+                    m = np.ones((h, w), np.uint8)
+            if flip:
+                m = m[:, ::-1]
+            cols = np.any(m, axis=0)
+            rows = np.any(m, axis=1)
+            if cols.any():
+                y1, y2 = np.where(rows)[0][[0, -1]]
+                x1, x2 = np.where(cols)[0][[0, -1]]
+                box = [float(y1), float(x1), float(y2) + 1.0,
+                       float(x2) + 1.0]
+            else:
+                box = [0.0, 0.0, 0.0, 0.0]
+            label_ids.append(label_id)
+            boxes.append(box)
+            masks.append(m.astype(np.uint8))
+
+        if not label_ids:
+            # empty-image fallback (data.py:859-867)
+            label_ids = [0]
+            boxes = [[0.0, 0.0, float(h), float(w)]]
+            masks = [np.ones((h, w), np.uint8)]
+
+        g = self.config.MAX_GT_INSTANCES
+        # The reference's truncation is a no-op bug ([:m] with m = current
+        # count, data.py:869-874); we truncate for real.
+        return (image, np.asarray(label_ids[:g], np.int32),
+                np.asarray(boxes[:g], np.float32), np.stack(masks[:g]))
+
+    def sample(self, index: int, hflip: bool = True) -> Dict[str, np.ndarray]:
+        """One fixed-shape training example (canvas coords, padded gt)."""
+        cfg = self.config
+        image, label_ids, boxes, masks = self.load(index, hflip=hflip)
+        canvas, window, scale = resize_image(image, cfg.IMAGE_MIN_DIM,
+                                             cfg.IMAGE_MAX_DIM)
+        boxes = encode_boxes(boxes, scale, window)
+        masks = encode_masks(masks, scale, window, cfg.IMAGE_MAX_DIM)
+
+        g = cfg.MAX_GT_INSTANCES
+        n = len(label_ids)
+        out_cls = np.zeros((g,), np.int32)
+        out_boxes = np.zeros((g, 4), np.float32)
+        out_masks = np.zeros((g, cfg.IMAGE_MAX_DIM, cfg.IMAGE_MAX_DIM),
+                             np.uint8)
+        out_valid = np.zeros((g,), bool)
+        out_cls[:n] = label_ids
+        out_boxes[:n] = boxes
+        out_masks[:n] = masks
+        out_valid[:n] = label_ids != 0
+        return {
+            "images": canvas,
+            "gt_class_ids": out_cls,
+            "gt_boxes": out_boxes,
+            "gt_masks": out_masks,
+            "gt_valid": out_valid,
+        }

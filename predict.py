@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Single-image Mask R-CNN inference CLI.
+
+Same argv surface as the reference (reference: predict.py:31-37):
+
+    python predict.py [-model /path/to/weights] <image>
+
+Accepts either a converted orbax checkpoint dir or the original torch
+`mask_rcnn_coco.pth` (converted on the fly).
+"""
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+from maskrcnn_tpu.api import Detector
+from maskrcnn_tpu.config import CocoInferenceConfig
+from maskrcnn_tpu.data.coco import COCO_CLASS_NAMES, CocoLabel
+from maskrcnn_tpu.utils.visualize import display_instances
+
+ROOT_DIR = os.getcwd()
+COCO_MODEL_PATH = os.path.join(ROOT_DIR, "models/mask_rcnn_coco.pth")
+
+parser = argparse.ArgumentParser(description="Mask RCNN Predictor")
+parser.add_argument("-model", type=str, default=COCO_MODEL_PATH,
+                    help=f"trained model [{COCO_MODEL_PATH}]")
+parser.add_argument("-output", type=str, default=None,
+                    help="save the rendered overlay to this path")
+parser.add_argument("image", type=str, help="image file")
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    config = CocoInferenceConfig()
+
+    detector = Detector(config)
+    if os.path.exists(args.model):
+        detector.load_weights(args.model)
+    else:
+        print("Weight file not found ...")
+
+    img = np.asarray(Image.open(args.image).convert("RGB"))
+    class_ids, scores, boxes, masks = detector.detect(img)
+
+    if class_ids is not None:
+        for i, j in enumerate(class_ids):
+            print(j, CocoLabel.name(j), boxes[i], scores[i])
+        display_instances(
+            img, np.array(boxes), np.array(masks), np.array(class_ids),
+            COCO_CLASS_NAMES, np.array(scores),
+            save_path=args.output or "predict_output.png")
+    else:
+        print("nothing detected")
