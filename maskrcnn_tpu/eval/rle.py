@@ -82,16 +82,22 @@ def _rle_counts(rle: RLE) -> np.ndarray:
 # ------------------------------------------------------------- en/decode --
 
 def encode(mask: np.ndarray) -> RLE:
-    """Binary HxW mask -> compressed RLE (column-major runs)."""
+    """Binary HxW mask -> compressed RLE (column-major runs).
+
+    Uses the native C++ kernel (native/rle_kernels.cpp) when built,
+    falling back to vectorized numpy.
+    """
+    from maskrcnn_tpu.eval import native
     h, w = mask.shape[:2]
     flat = np.asarray(mask, np.uint8).flatten(order="F")
-    # vectorized run-length: boundaries where the value changes
     if flat.size == 0:
         return {"size": [h, w], "counts": _counts_to_string(np.array([0]))}
-    change = np.nonzero(np.diff(flat))[0]
-    lengths = np.diff(np.concatenate([[-1], change, [flat.size - 1]]))
-    if flat[0] != 0:  # runs must start with a (possibly 0-length) bg run
-        lengths = np.concatenate([[0], lengths])
+    lengths = native.encode_counts(flat)
+    if lengths is None:
+        change = np.nonzero(np.diff(flat))[0]
+        lengths = np.diff(np.concatenate([[-1], change, [flat.size - 1]]))
+        if flat[0] != 0:  # runs start with a (possibly empty) bg run
+            lengths = np.concatenate([[0], lengths])
     return {"size": [int(h), int(w)],
             "counts": _counts_to_string(lengths.astype(np.uint32))}
 
@@ -288,7 +294,13 @@ def iou(dt, gt, iscrowd) -> np.ndarray:
     if isinstance(dt, np.ndarray) or (isinstance(dt[0], (list, np.ndarray))
                                       and not isinstance(dt[0], dict)):
         return bb_iou(np.asarray(dt), np.asarray(gt), iscrowd)
-    # RLE masks: dense matmul (numpy path; the native ext accelerates).
+    # RLE masks: native two-pointer run merge when built, else dense.
+    from maskrcnn_tpu.eval import native
+    if native.available():
+        out = native.iou_matrix([_rle_counts(r) for r in dt],
+                                [_rle_counts(r) for r in gt], iscrowd)
+        if out is not None:
+            return out
     m, n = len(dt), len(gt)
     dmask = np.stack([decode(r).reshape(-1) for r in dt]).astype(np.float32)
     gmask = np.stack([decode(r).reshape(-1) for r in gt]).astype(np.float32)

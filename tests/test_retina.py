@@ -1,0 +1,36 @@
+"""RetinaFPN variant tests: pyramid shapes + one-stage detect smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskrcnn_tpu.config import TinyConfig
+from maskrcnn_tpu.models.retina_fpn import RetinaFPN, RetinaNet
+
+
+def test_pyramid_shapes():
+    """P3..P7 at strides 8..128 (reference fpn/retina_fpn.py:130-137
+    prints these shapes as its smoke test)."""
+    fpn = RetinaFPN()
+    x = jnp.zeros((1, 128, 128, 3))
+    params = fpn.init(jax.random.PRNGKey(0), x)
+    feats = fpn.apply(params, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 256), (1, 8, 8, 256), (1, 4, 4, 256),
+        (1, 2, 2, 256), (1, 1, 1, 256)]
+
+
+def test_retina_detect_smoke(rng):
+    cfg = TinyConfig(DETECTION_MIN_CONFIDENCE=0.0)
+    net = RetinaNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    d = cfg.IMAGE_MAX_DIM
+    images = jnp.asarray(rng.rand(1, d, d, 3).astype(np.float32))
+    out = net.detect(params, images)
+    n = cfg.DETECTION_MAX_INSTANCES
+    assert out["boxes"].shape == (1, n, 4)
+    assert out["scores"].shape == (1, n)
+    boxes = np.asarray(out["boxes"][0])
+    assert boxes.min() >= 0 and boxes.max() <= d
+    # anchors cover 5 levels
+    assert net.anchors().shape[1] == 4
