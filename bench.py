@@ -55,6 +55,9 @@ def make_loop(model, iters: int):
 
 def bench(batch_sizes=(8, 4, 2, 1), iters: int = 8):
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/maskrcnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from maskrcnn_tpu.config import CocoInferenceConfig
     from maskrcnn_tpu.models.mask_rcnn import MaskRCNN

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Per-stage device-time breakdown of the detection pipeline.
+
+Times progressively larger prefixes of the pipeline (backbone -> +RPN ->
++proposal NMS -> +box head -> +refine -> +mask head -> +paste), each as
+an in-graph fori_loop (see bench.py for why per-dispatch timing is
+meaningless through the dev tunnel). Differences between consecutive
+prefixes attribute device time to each stage — this is the optimization
+worklist for Pallas kernels.
+
+    python benchmarks/breakdown.py [batch] [iters]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch: int = 8, iters: int = 8):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/maskrcnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from maskrcnn_tpu.config import CocoInferenceConfig
+    from maskrcnn_tpu.detection.pipeline import (_pool_rois, mrn_refine,
+                                                 rpn_refine)
+    from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+    from maskrcnn_tpu.ops.image import normalize_image
+    from maskrcnn_tpu.ops.mask_paste import paste_masks_chunked
+
+    config = CocoInferenceConfig()
+    model = MaskRCNN(config)
+    params = jax.device_put(model.init(jax.random.PRNGKey(0)))
+    d = config.IMAGE_MAX_DIM
+    h = w = d
+    rng = np.random.RandomState(0)
+    images = jax.device_put(
+        rng.randint(0, 200, (batch, d, d, 3)).astype(np.uint8))
+    windows = jax.device_put(
+        np.tile([[0.0, 0.0, d, d]], (batch, 1)).astype(np.float32))
+    anchors_np = model.anchors()
+
+    def stage_fn(upto: str):
+        anchors = jnp.asarray(anchors_np)
+
+        def run(imgs):
+            x = normalize_image(imgs, config.MEAN_PIXEL)
+            feats = model.backbone(params, x)
+            if upto == "backbone":
+                return sum(f.sum(dtype=jnp.float32) for f in feats)
+            _, rpn_probs, rpn_bbox = model.rpn_detect(params, feats)
+            if upto == "rpn":
+                return rpn_probs.sum() + rpn_bbox.sum()
+            proposals, pvalid = jax.vmap(
+                lambda p, b: rpn_refine(config, anchors, p, b))(
+                    rpn_probs, rpn_bbox)
+            if upto == "proposal_nms":
+                return proposals.sum() + pvalid.sum(dtype=jnp.float32)
+            b, r = proposals.shape[:2]
+            pooled = _pool_rois(feats, proposals, config.POOL_SIZE,
+                                config.IMAGE_SHAPE)
+            _, probs, deltas = model.classify(
+                params, pooled.reshape(b * r, *pooled.shape[2:]))
+            probs = probs.reshape(b, r, -1)
+            deltas = deltas.reshape(b, r, config.NUM_CLASSES, 4)
+            if upto == "box_head":
+                return probs.sum() + deltas.sum()
+            det = jax.vmap(lambda p, v, pr, dl, win: mrn_refine(
+                config, p, v, pr, dl, win))(proposals, pvalid, probs,
+                                            deltas, windows)
+            if upto == "mrn_refine":
+                return det.scores.sum() + det.boxes.sum()
+            mask_rois = det.boxes / float(h)
+            dd = mask_rois.shape[1]
+            pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
+                                  config.IMAGE_SHAPE)
+            mask_probs = model.predict_masks(
+                params, pooled_m.reshape(b * dd, *pooled_m.shape[2:]))
+            mask_probs = mask_probs.reshape(b, dd,
+                                            *mask_probs.shape[1:])
+            if upto == "mask_head":
+                return mask_probs.sum()
+            sel = jnp.take_along_axis(
+                mask_probs, det.class_ids[:, :, None, None, None],
+                axis=-1)[..., 0]
+            full = paste_masks_chunked(
+                sel.reshape(-1, 28, 28), det.boxes.reshape(-1, 4), h, w)
+            return full.sum(dtype=jnp.float32)
+
+        @jax.jit
+        def loop(imgs):
+            def body(i, acc):
+                return acc + run(imgs + i.astype(jnp.uint8))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return loop
+
+    stages = ["backbone", "rpn", "proposal_nms", "box_head",
+              "mrn_refine", "mask_head", "paste"]
+    prev = 0.0
+    print(f"batch={batch} iters={iters}")
+    for s in stages:
+        loop = stage_fn(s)
+        float(loop(images))  # compile + warm
+        t0 = time.perf_counter()
+        float(loop(images))
+        dt = time.perf_counter() - t0
+        ms_img = 1e3 * dt / (batch * iters)
+        delta = ms_img - prev
+        print(f"{s:14s} cumulative {ms_img:8.2f} ms/img   "
+              f"stage {delta:8.2f} ms/img", flush=True)
+        prev = ms_img
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    it = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    main(b, it)

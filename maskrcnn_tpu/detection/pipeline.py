@@ -27,7 +27,7 @@ from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
 from maskrcnn_tpu.ops import boxes as box_ops
 from maskrcnn_tpu.ops import nms as nms_ops
 from maskrcnn_tpu.ops.image import normalize_image
-from maskrcnn_tpu.ops.mask_paste import paste_masks
+from maskrcnn_tpu.ops.mask_paste import paste_masks_chunked
 from maskrcnn_tpu.ops.roi_align import multilevel_roi_align
 
 
@@ -182,11 +182,14 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
     mask_probs = mask_probs.reshape(b, d, *mask_probs.shape[1:])  # [B,D,28,28,K]
 
     # Select each detection's class channel, then paste on device
-    # (replaces data.py:287-314 full_masks PIL loop).
+    # (replaces data.py:287-314 full_masks PIL loop). Paste is chunked
+    # over the flattened batch*detections to bound transient HBM.
     sel = jnp.take_along_axis(
         mask_probs, det.class_ids[:, :, None, None, None], axis=-1)
     sel = sel[..., 0]  # [B, D, 28, 28]
-    full = jax.vmap(lambda m, bx: paste_masks(m, bx, h, w))(sel, det.boxes)
+    full = paste_masks_chunked(
+        sel.reshape(b * d, *sel.shape[2:]),
+        det.boxes.reshape(b * d, 4), h, w).reshape(b, d, h, w)
     full = full & det.valid[:, :, None, None]
 
     return {

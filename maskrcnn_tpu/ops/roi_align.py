@@ -127,27 +127,32 @@ def _crop_core(flat: jnp.ndarray, boxes: jnp.ndarray, pool_size: int,
                 + yy[:, :, None] * lvl_w[:, None, None]
                 + xx[:, None, :]).astype(jnp.int32)
 
-    i00 = flat_idx(y0c, x0c)
-    i01 = flat_idx(y0c, x1c)
-    i10 = flat_idx(y1c, x0c)
-    i11 = flat_idx(y1c, x1c)
-
-    idx = jnp.stack([i00, i01, i10, i11], axis=-1)    # [N, P, P, 4]
-    gathered = jnp.take(flat, idx.reshape(-1), axis=0)
-    gathered = gathered.reshape(idx.shape + (c,)).astype(jnp.float32)
-
     wy = y_lerp[:, :, None]                            # [N, P, 1]
     wx = x_lerp[:, None, :]                            # [N, 1, P]
-    w00 = ((1.0 - wy) * (1.0 - wx))[..., None]
-    w01 = ((1.0 - wy) * wx)[..., None]
-    w10 = (wy * (1.0 - wx))[..., None]
-    w11 = (wy * wx)[..., None]
 
-    out = (gathered[..., 0, :] * w00 + gathered[..., 1, :] * w01
-           + gathered[..., 2, :] * w10 + gathered[..., 3, :] * w11)
+    # Accumulate the 4 corner gathers one at a time instead of stacking
+    # a [N, P, P, 4, C] tensor — 4x lower peak HBM. Interpolation runs in
+    # the feature dtype (bf16 on TPU: the heads consume bf16 anyway).
+    n, p = boxes.shape[0], int(wy.shape[1])
+    shape = (n, p, p)
+    # integer sources (e.g. uint8 gt masks) interpolate in f32; float
+    # sources keep their dtype (bf16 features stay bf16)
+    cdtype = (flat.dtype if jnp.issubdtype(flat.dtype, jnp.floating)
+              else jnp.float32)
+
+    def corner(yy, xx, w):
+        g = jnp.take(flat, flat_idx(yy, xx).reshape(-1), axis=0)
+        g = g.reshape(shape + (c,)).astype(cdtype)
+        return g * w[..., None].astype(cdtype)
+
+    out = corner(y0c, x0c, (1.0 - wy) * (1.0 - wx))
+    out = out + corner(y0c, x1c, (1.0 - wy) * wx)
+    out = out + corner(y1c, x0c, wy * (1.0 - wx))
+    out = out + corner(y1c, x1c, wy * wx)
 
     inside = jnp.logical_not(out_y[:, :, None] | out_x[:, None, :])
-    return jnp.where(inside[..., None], out, 0.0)
+    return jnp.where(inside[..., None], out,
+                     jnp.zeros((), out.dtype))
 
 
 def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray,
