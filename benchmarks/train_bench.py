@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Training throughput benchmark: train-step images/sec/chip at 1024px.
+
+    python benchmarks/train_bench.py [batch] [remat:0|1]
+
+The reference trains 1 image/step on an 8GB GPU (config.py:183-185) with
+host-side target sampling; this measures the full jitted step — on-device
+RPN+RoI target sampling, 5-loss forward, backward, SGD update — via
+cached dispatches with a scalar fetch (see bench.py for tunnel caveats).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch: int = 4, remat: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/maskrcnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from maskrcnn_tpu.config import CocoConfig
+    from maskrcnn_tpu.data.pipeline import SyntheticLoader
+    from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+    from maskrcnn_tpu.ops.bits import pack_masks
+    from maskrcnn_tpu.train.step import (TrainState, make_optimizer,
+                                         train_step)
+    from maskrcnn_tpu.train.trainer import (LAYER_REGEX, decay_mask,
+                                            trainable_mask)
+
+    config = CocoConfig(REMAT_BACKBONE=remat)
+    model = MaskRCNN(config)
+    params = model.init(jax.random.PRNGKey(0))
+
+    regex = LAYER_REGEX["all"]
+    tmask = trainable_mask(params, regex)
+    optimizer = make_optimizer(config, config.LEARNING_RATE,
+                               decay_mask(params, regex))
+    opt_and_mask = (optimizer, lambda p, _m=tmask: _m)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=optimizer.init(params))
+
+    raw = next(SyntheticLoader(config, batch))
+    raw["gt_masks_packed"] = pack_masks(raw.pop("gt_masks"))
+    batch_dev = jax.device_put(raw)
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    state, metrics = train_step(model, opt_and_mask, state, batch_dev, key)
+    loss = float(metrics["total"])
+    print(f"compile+first step: {time.time() - t0:.0f}s loss={loss:.3f}",
+          file=sys.stderr)
+    assert np.isfinite(loss)
+
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        state, metrics = train_step(model, opt_and_mask, state, batch_dev,
+                                    key)
+        float(metrics["total"])
+        ts.append(time.time() - t0)
+    dt = min(ts)
+    print(f"batch {batch} remat={remat}: {dt:.3f}s/step -> "
+          f"{batch / dt:.2f} img/s ({1e3 * dt / batch:.1f} ms/img)")
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    r = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
+    main(b, r)

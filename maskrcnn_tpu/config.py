@@ -84,6 +84,9 @@ class Config:
     COMPUTE_DTYPE: str = "bfloat16"
     # Mesh axis name for data parallelism.
     MESH_AXIS_DP: str = "dp"
+    # Rematerialise backbone stage activations during backward (memory
+    # for FLOPs trade; enables large per-chip train batches at 1024px).
+    REMAT_BACKBONE: bool = False
 
     # ---- computed attributes (reference: config.py:145-164) ----
     @property

@@ -28,11 +28,13 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, prefetch: int = 4,
                  seed: int = 0, shard_index: int = 0,
-                 num_shards: int = 1, hflip: bool = True):
+                 num_shards: int = 1, hflip: bool = True,
+                 pack_bits: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.hflip = hflip
+        self.pack_bits = pack_bits
         self._rng = random.Random(seed)
         # per-host shard: stride over the dataset (SURVEY.md section 2.3:
         # per-host shards feeding a dp mesh)
@@ -71,8 +73,11 @@ class BatchLoader:
             except queue.Empty:
                 continue
             try:
-                self._sample_q.put(self.dataset.sample(idx,
-                                                       hflip=self.hflip))
+                s = self.dataset.sample(idx, hflip=self.hflip)
+                if self.pack_bits:
+                    from maskrcnn_tpu.ops.bits import pack_masks
+                    s["gt_masks_packed"] = pack_masks(s.pop("gt_masks"))
+                self._sample_q.put(s)
             except Exception as e:  # keep the pipeline alive
                 print(f"[pipeline] sample {idx} failed: {e}")
 

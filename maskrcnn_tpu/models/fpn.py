@@ -34,12 +34,14 @@ class FPN(nn.Module):
     architecture: str = "resnet101"
     out_channels: int = 256
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         oc = self.out_channels
         _, c2, c3, c4, c5 = ResNet(self.architecture, stage5=True,
-                                   dtype=self.dtype, name="resnet")(x)
+                                   dtype=self.dtype, remat=self.remat,
+                                   name="resnet")(x)
 
         p5 = Conv(oc, (1, 1), dtype=self.dtype, name="P5_conv1")(c5)
         p4 = (Conv(oc, (1, 1), dtype=self.dtype, name="P4_conv1")(c4)

@@ -43,7 +43,8 @@ class MaskRCNN:
     @property
     def fpn(self) -> FPN:
         return FPN(architecture=self.config.BACKBONE,
-                   dtype=_dtype(self.config))
+                   dtype=_dtype(self.config),
+                   remat=self.config.REMAT_BACKBONE)
 
     @property
     def rpn(self) -> RPNHead:

@@ -124,11 +124,16 @@ class ResNet(nn.Module):
     architecture: str = "resnet101"
     stage5: bool = True
     dtype: Dtype = jnp.float32
+    # rematerialise stage activations in the backward pass: trades ~30%
+    # backbone FLOPs for O(stage) activation memory, enabling large
+    # per-chip batches at 1024px (jax.checkpoint/nn.remat).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         assert self.architecture in ("resnet50", "resnet101")
         layers = {"resnet50": 6, "resnet101": 23}[self.architecture]
+        Stage = nn.remat(ResNetStage) if self.remat else ResNetStage
 
         # C1 (reference: model.py:223-229): 7x7/2 pad 3, BN, relu,
         # SamePad(3,2) -> pad (0,1) on the 512 grid, maxpool 3x3/2.
@@ -139,13 +144,13 @@ class ResNet(nn.Module):
         c1 = nn.max_pool(x, (3, 3), strides=(2, 2),
                          padding=((0, 1), (0, 1)))
 
-        c2 = ResNetStage(64, 3, stride=1, dtype=self.dtype, name="C2")(c1)
-        c3 = ResNetStage(128, 4, stride=2, dtype=self.dtype, name="C3")(c2)
-        c4 = ResNetStage(256, layers, stride=2, dtype=self.dtype,
-                         name="C4")(c3)
+        c2 = Stage(64, 3, stride=1, dtype=self.dtype, name="C2")(c1)
+        c3 = Stage(128, 4, stride=2, dtype=self.dtype, name="C3")(c2)
+        c4 = Stage(256, layers, stride=2, dtype=self.dtype,
+                   name="C4")(c3)
         if self.stage5:
-            c5 = ResNetStage(512, 3, stride=2, dtype=self.dtype,
-                             name="C5")(c4)
+            c5 = Stage(512, 3, stride=2, dtype=self.dtype,
+                       name="C5")(c4)
         else:
             c5 = None
         return c1, c2, c3, c4, c5

@@ -61,14 +61,12 @@ def make_parallel_train_step(model: MaskRCNN, optimizer_and_mask,
     def step(state: TrainState, batch, key):
         return train_step(model, optimizer_and_mask, state, batch, key)
 
-    batch_shardings = {
-        "images": data, "gt_class_ids": data, "gt_boxes": data,
-        "gt_masks": data, "gt_valid": data,
-    }
+    # `data` as a pytree prefix: every batch leaf shards on its leading
+    # (batch) axis, whatever keys the loader provides (packed or not).
     state_sharding = TrainState(step=repl, params=repl, opt_state=repl)
     return jax.jit(
         step,
-        in_shardings=(state_sharding, batch_shardings, repl),
+        in_shardings=(state_sharding, data, repl),
         out_shardings=(state_sharding, repl))
 
 

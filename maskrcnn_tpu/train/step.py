@@ -43,12 +43,18 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
       images:       [B, H, W, 3] uint8 canvas
       gt_class_ids: [B, G] int32 (negative = crowd, 0 = padding)
       gt_boxes:     [B, G, 4] float32 pixel canvas coords
-      gt_masks:     [B, G, H, W] uint8 {0,1}
+      gt_masks:     [B, G, H, W] uint8 {0,1}  — or bit-packed
+      gt_masks_packed: [B, G, H, W/8] uint8 (np.packbits; 8x less
+        host->device traffic, unpacked on device)
       gt_valid:     [B, G] bool
     """
     config = model.config
     h, w = config.IMAGE_SHAPE[:2]
     b = batch["images"].shape[0]
+    if "gt_masks_packed" in batch:
+        from maskrcnn_tpu.ops.bits import unpack_masks
+        batch = dict(batch)
+        batch["gt_masks"] = unpack_masks(batch.pop("gt_masks_packed"), w)
 
     x = normalize_image(batch["images"], config.MEAN_PIXEL)
     feats = model.backbone(params, x)
