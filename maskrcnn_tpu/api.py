@@ -57,7 +57,11 @@ class Detector:
         batch = np.stack(canvases)
         win = np.asarray(windows, np.float32)
 
-        out = predict_step(self.model, self.params, batch, win)
+        if cfg.MATMUL_PRECISION != "default":
+            with jax.default_matmul_precision(cfg.MATMUL_PRECISION):
+                out = predict_step(self.model, self.params, batch, win)
+        else:
+            out = predict_step(self.model, self.params, batch, win)
         out = jax.device_get(out)
 
         results = []

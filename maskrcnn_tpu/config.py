@@ -87,6 +87,10 @@ class Config:
     # Rematerialise backbone stage activations during backward (memory
     # for FLOPs trade; enables large per-chip train batches at 1024px).
     REMAT_BACKBONE: bool = False
+    # Matmul/conv precision: "default" lets f32 convs use bf16 passes on
+    # TPU (fast); "float32"/"highest" forces full precision — use with
+    # COMPUTE_DTYPE="float32" for exact-parity evaluation runs.
+    MATMUL_PRECISION: str = "default"
 
     # ---- computed attributes (reference: config.py:145-164) ----
     @property

@@ -108,8 +108,17 @@ class Trainer:
             for step in range(steps_per_epoch):
                 batch = next(train_iter)
                 rng, key = jax.random.split(rng)
+                prev_state = state
                 state, metrics = train_step(self.model, opt_and_mask,
                                             state, batch, key)
+                # failure guard (the reference has none, SURVEY section
+                # 5): a non-finite loss skips the update instead of
+                # poisoning the run.
+                if not np.isfinite(float(metrics["total"])):
+                    print(f"  WARNING: non-finite loss at epoch {epoch} "
+                          f"step {step + 1}; step skipped")
+                    state = prev_state
+                    continue
                 if (step + 1) % self.log_every == 0 or step == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"  epoch {epoch} step {step + 1}/"
