@@ -18,6 +18,12 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 
 def main(batch: int = 8, iters: int = 8):
     import jax

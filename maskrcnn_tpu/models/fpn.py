@@ -65,3 +65,13 @@ class FPN(nn.Module):
         # P6: MaxPool(kernel=1, stride=2) of P5 (model.py:109, 161).
         p6 = p5[:, ::2, ::2, :]
         return [p2, p3, p4, p5, p6]
+
+
+def FPN101(dtype=jnp.float32) -> FPN:
+    """Standalone educational FPN-101 factory (reference: fpn/fpn.py:125
+    exposes FPN101() as a self-contained demo module)."""
+    return FPN(architecture="resnet101", dtype=dtype)
+
+
+def FPN50(dtype=jnp.float32) -> FPN:
+    return FPN(architecture="resnet50", dtype=dtype)

@@ -136,3 +136,29 @@ def test_parallel_step_matches_single_device(setup, rng):
                      jax.tree_util.tree_leaves(par_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_parallel_predict_on_mesh(setup, rng):
+    """Batch-sharded inference over the 8-device CPU mesh."""
+    import numpy as np
+    from maskrcnn_tpu.parallel import make_mesh, make_parallel_predict
+
+    cfg, model, params = setup
+    mesh = make_mesh(8)
+    run = make_parallel_predict(model, mesh)
+    d = cfg.IMAGE_MAX_DIM
+    images = jnp.asarray((rng.rand(8, d, d, 3) * 255).astype(np.uint8))
+    windows = jnp.asarray(np.tile([[0, 0, d, d]], (8, 1)).astype(np.float32))
+    out = run(replicate(params, mesh),
+              jax.device_put(images,
+                             jax.sharding.NamedSharding(
+                                 mesh, jax.sharding.PartitionSpec("dp"))),
+              jax.device_put(windows,
+                             jax.sharding.NamedSharding(
+                                 mesh, jax.sharding.PartitionSpec("dp"))))
+    assert out["boxes"].shape == (8, cfg.DETECTION_MAX_INSTANCES, 4)
+    # sharded output must equal single-device predict
+    from maskrcnn_tpu.detection.pipeline import predict_step
+    ref = predict_step(model, params, images, windows)
+    np.testing.assert_allclose(np.asarray(out["scores"]),
+                               np.asarray(ref["scores"]), rtol=1e-5)
