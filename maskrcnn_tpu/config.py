@@ -91,6 +91,8 @@ class Config:
     # TPU (fast); "float32"/"highest" forces full precision — use with
     # COMPUTE_DTYPE="float32" for exact-parity evaluation runs.
     MATMUL_PRECISION: str = "default"
+    # NMS backend: "xla" (portable lax loop) or "pallas" (TPU kernel).
+    NMS_IMPL: str = "xla"
 
     # ---- computed attributes (reference: config.py:145-164) ----
     @property

@@ -59,8 +59,9 @@ def rpn_refine(config: Config, anchors: jnp.ndarray,
     h, w = config.IMAGE_SHAPE[:2]
     boxes = box_ops.clip_boxes(boxes, (0.0, 0.0, float(h), float(w)))
 
-    keep = nms_ops.nms_mask(boxes, jnp.ones((k,), jnp.bool_),
-                            config.RPN_NMS_THRESHOLD)
+    keep = nms_ops.nms_mask_impl(boxes, jnp.ones((k,), jnp.bool_),
+                                 config.RPN_NMS_THRESHOLD,
+                                 impl=config.NMS_IMPL)
 
     # Compact survivors (already score-ordered) to the front, pad to R.
     r = config.RPN_NMS_MAX_ROIS_NUM
@@ -114,7 +115,7 @@ def mrn_refine(config: Config, proposals: jnp.ndarray,
     svalid = keep[order]
     nms_keep = nms_ops.multiclass_nms_mask(
         sboxes, sclasses, svalid, config.DETECTION_NMS_THRESHOLD,
-        coord_span=float(max(h, w)))
+        coord_span=float(max(h, w)), impl=config.NMS_IMPL)
 
     # Top DETECTION_MAX_INSTANCES by score (model.py:1478-1480); the
     # sorted survivors are already in score order.

@@ -73,6 +73,16 @@ def nms_mask(boxes: jnp.ndarray,
     return jnp.logical_not(suppressed) & valid
 
 
+def nms_mask_impl(boxes: jnp.ndarray, valid: jnp.ndarray,
+                  iou_threshold: float, impl: str = "xla") -> jnp.ndarray:
+    """Backend dispatch: "xla" (lax.fori_loop, any backend) or "pallas"
+    (ops/nms_pallas.py TPU kernel, ~2.5x faster per call)."""
+    if impl == "pallas":
+        from maskrcnn_tpu.ops.nms_pallas import nms_mask_pallas
+        return nms_mask_pallas(boxes, valid, iou_threshold)
+    return nms_mask(boxes, valid, iou_threshold)
+
+
 def nms_topk(boxes: jnp.ndarray,
              scores: jnp.ndarray,
              valid: jnp.ndarray,
@@ -104,7 +114,8 @@ def multiclass_nms_mask(boxes: jnp.ndarray,
                         class_ids: jnp.ndarray,
                         valid: jnp.ndarray,
                         iou_threshold: float,
-                        coord_span: float) -> jnp.ndarray:
+                        coord_span: float,
+                        impl: str = "xla") -> jnp.ndarray:
     """Per-class NMS via the class-offset trick.
 
     Replaces the reference's per-class Python loop over `maskrcnn.nms`
@@ -118,4 +129,4 @@ def multiclass_nms_mask(boxes: jnp.ndarray,
     coord_span: strictly larger than any coordinate value (e.g. image dim).
     """
     offset = class_ids.astype(boxes.dtype)[:, None] * (coord_span + 2.0)
-    return nms_mask(boxes + offset, valid, iou_threshold)
+    return nms_mask_impl(boxes + offset, valid, iou_threshold, impl=impl)
