@@ -62,20 +62,30 @@ class Detector:
                 out = predict_step(self.model, self.params, batch, win)
         else:
             out = predict_step(self.model, self.params, batch, win)
-        out = jax.device_get(out)
+        # fetch only what the host needs; full masks travel bit-packed
+        # (8x less device->host traffic than bool)
+        fetched = jax.device_get({k: out[k] for k in (
+            "class_ids", "scores", "boxes", "valid", "masks_packed")})
+        d = cfg.IMAGE_MAX_DIM
+        masks_full = np.unpackbits(
+            fetched["masks_packed"], axis=-1)[..., :d].astype(bool)
 
-        results = []
-        for i, img in enumerate(images):
-            valid = out["valid"][i]
-            n = int(valid.sum())
-            if n == 0:
-                results.append(None)
-                continue
-            class_ids = out["class_ids"][i][valid].tolist()
-            scores = out["scores"][i][valid].tolist()
-            boxes = decode_boxes(out["boxes"][i][valid], scales[i],
+        def decode_one(i):
+            img = images[i]
+            valid = fetched["valid"][i]
+            if int(valid.sum()) == 0:
+                return None
+            class_ids = fetched["class_ids"][i][valid].tolist()
+            scores = fetched["scores"][i][valid].tolist()
+            boxes = decode_boxes(fetched["boxes"][i][valid], scales[i],
                                  windows[i]).tolist()
-            masks = decode_masks(out["masks"][i][valid], scales[i],
+            masks = decode_masks(masks_full[i][valid], scales[i],
                                  windows[i], img.shape[0], img.shape[1])
-            results.append((class_ids, scores, boxes, masks))
-        return results
+            return (class_ids, scores, boxes, masks)
+
+        # per-image mask decode is PIL-bound (~50 resizes each); PIL
+        # releases the GIL, so thread across images to keep pace with
+        # the ~100 img/s device pipeline
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(images))) as ex:
+            return list(ex.map(decode_one, range(len(images))))

@@ -193,6 +193,9 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
         det.boxes.reshape(b * d, 4), h, w).reshape(b, d, h, w)
     full = full & det.valid[:, :, None, None]
 
+    # bit-pack the full masks for the device->host hop (1 bit/pixel;
+    # unpack with np.unpackbits or ops.bits.unpack_masks)
+    from maskrcnn_tpu.ops.bits import pack_masks_device
     return {
         "class_ids": det.class_ids,
         "scores": det.scores,
@@ -200,4 +203,5 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
         "valid": det.valid,
         "masks28": sel,
         "masks": full,
+        "masks_packed": pack_masks_device(full),
     }

@@ -23,3 +23,17 @@ def unpack_masks(packed: jnp.ndarray, width: int) -> jnp.ndarray:
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
     bits = (packed[..., None] >> shifts) & jnp.uint8(1)
     return bits.reshape(*packed.shape[:-1], -1)[..., :width]
+
+
+def pack_masks_device(masks: jnp.ndarray) -> jnp.ndarray:
+    """Device: [..., W] bool/{0,1} -> [..., ceil(W/8)] uint8, big-endian
+    bit order (np.unpackbits-compatible). Used to ship detection masks
+    device->host at 1 bit/pixel."""
+    w = masks.shape[-1]
+    pad = (-w) % 8
+    m = masks.astype(jnp.uint8)
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    m = m.reshape(*m.shape[:-1], -1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)
