@@ -8,7 +8,7 @@ reshape: [B, H, W, A*k] -> [B, H*W*A, k], which is exactly the
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -47,14 +47,3 @@ class RPNHead(nn.Module):
         bbox = bbox.reshape(b, -1, 4).astype(jnp.float32)
         return logits, probs, bbox
 
-
-def rpn_detect(head: RPNHead, params, feature_maps: Sequence[jnp.ndarray]):
-    """Apply the shared head to all levels and concat (model.py:1294-1304).
-
-    Returns (logits [B, sumA, 2], probs [B, sumA, 2], bbox [B, sumA, 4]).
-    """
-    outs: List = [head.apply(params, p) for p in feature_maps]
-    logits = jnp.concatenate([o[0] for o in outs], axis=1)
-    probs = jnp.concatenate([o[1] for o in outs], axis=1)
-    bbox = jnp.concatenate([o[2] for o in outs], axis=1)
-    return logits, probs, bbox

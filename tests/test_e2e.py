@@ -87,3 +87,23 @@ def test_full_eval_roundtrip(coco_dir):
     stats = evaluate_coco(detector, ds, ds.coco, "segm", limit=3,
                           batch_size=2)
     assert stats.shape == (12,)
+
+
+def test_batch_loader(coco_dir):
+    """Threaded loader produces well-formed packed batches."""
+    from maskrcnn_tpu.data.pipeline import BatchLoader
+
+    cfg = TinyConfig()
+    ds = CocoDataset(coco_dir, "minival", 2014, cfg)
+    loader = BatchLoader(ds, batch_size=2, num_workers=2, prefetch=2)
+    try:
+        batch = next(loader)
+        d, g = cfg.IMAGE_MAX_DIM, cfg.MAX_GT_INSTANCES
+        assert batch["images"].shape == (2, d, d, 3)
+        assert batch["gt_masks_packed"].shape == (2, g, d, d // 8)
+        assert batch["gt_valid"].shape == (2, g)
+        assert batch["gt_valid"].any()
+        batch2 = next(loader)
+        assert batch2["images"].shape == (2, d, d, 3)
+    finally:
+        loader.close()
