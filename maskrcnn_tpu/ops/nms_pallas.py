@@ -33,7 +33,11 @@ BLOCK = 64
 
 
 def _nms_kernel(boxes_ref, invalid_ref, thr_ref, keep_ref):
-    """Single-program kernel: boxes [N, 4] f32 in VMEM -> keep [N] i32."""
+    """Single-program kernel: boxes [N, 4] f32 in VMEM -> keep [1, N] i32.
+
+    Vector state is carried as [1, N] 2-D so the kernel stays legal
+    under vmap (mosaic block rules want >=2-D trailing shapes).
+    """
     n = boxes_ref.shape[0]
     nblk = n // BLOCK
 
@@ -44,7 +48,7 @@ def _nms_kernel(boxes_ref, invalid_ref, thr_ref, keep_ref):
     x2 = boxes_ref[:, 3]
     area = (y2 - y1 + 1.0) * (x2 - x1 + 1.0)
 
-    supp = invalid_ref[:]  # int32 0/1, [N]
+    supp = invalid_ref[0, :]  # int32 0/1, [N]
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
 
     for bi in range(nblk):  # static unroll: all slices compile-time
@@ -77,7 +81,7 @@ def _nms_kernel(boxes_ref, invalid_ref, thr_ref, keep_ref):
             alive = 1 - jnp.max(supp * (idx == g).astype(jnp.int32))
             supp = jnp.maximum(supp, smat[i] * alive)
 
-    keep_ref[:] = (1 - supp) * (1 - invalid_ref[:])
+    keep_ref[0, :] = (1 - supp) * (1 - invalid_ref[0, :])
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold",))
@@ -95,11 +99,11 @@ def nms_mask_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
         valid = jnp.pad(valid, (0, pad))
     npad = boxes.shape[0]
     thr = jnp.full((1,), iou_threshold, jnp.float32)
-    invalid = jnp.logical_not(valid).astype(jnp.int32)
+    invalid = jnp.logical_not(valid).astype(jnp.int32)[None, :]
 
     keep = pl.pallas_call(
         _nms_kernel,
-        out_shape=jax.ShapeDtypeStruct((npad,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -107,4 +111,4 @@ def nms_mask_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(boxes.astype(jnp.float32), invalid, thr)
-    return (keep > 0)[:n]
+    return (keep[0] > 0)[:n]
