@@ -36,8 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def roi_levels(boxes: jnp.ndarray, image_shape,
-               num_levels: int = 4) -> jnp.ndarray:
+def roi_levels(boxes: jnp.ndarray, image_shape) -> jnp.ndarray:
     """FPN level index (0-based: P2=0..P5=3) per box (model.py:335-338).
 
     boxes: [..., 4] normalized (y1, x1, y2, x2).
@@ -64,7 +63,7 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray],
     pool_size: output side (7 for the box head, 14 for the mask head).
     Returns [N, pool_size, pool_size, C] in the input box order.
     """
-    lvl = roi_levels(boxes, image_shape, len(features))
+    lvl = roi_levels(boxes, image_shape)
     return _crop_from_levels(features, boxes, pool_size, lvl)
 
 

@@ -34,6 +34,11 @@ LAYER_REGEX = {
 }
 
 
+# module-level jit: the valid_epoch loop (reference model.py:1670) must
+# not retrace per step
+_eval_losses = jax.jit(compute_losses, static_argnums=(0,))
+
+
 def param_paths(params) -> List[str]:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = []
@@ -133,10 +138,8 @@ class Trainer:
                 for _ in range(validation_steps):
                     batch = next(val_iter)
                     rng, key = jax.random.split(rng)
-                    losses = jax.jit(
-                        compute_losses,
-                        static_argnums=(0,))(self.model, state.params,
-                                             key, batch)
+                    losses = _eval_losses(self.model, state.params, key,
+                                          batch)
                     for k, v in losses.as_dict().items():
                         vsums[k] = (vsums.get(k, 0.0)
                                     + float(v) / validation_steps)
