@@ -39,6 +39,22 @@ COCO_CLASS_NAMES = [
     "scissors", "teddy bear", "hair drier", "toothbrush",
 ]
 
+# Chinese display names, contiguous label order (reference surface:
+# data.py:618-637 zh_name; predict.py prints them).
+COCO_CLASS_NAMES_ZH = [
+    "背景", "人", "自行车", "汽车", "摩托车", "飞机", "公共汽车", "火车",
+    "卡车", "船", "红绿灯", "消防栓", "停车标志", "停车计时器", "长凳",
+    "鸟", "猫", "狗", "马", "羊", "牛", "大象", "熊", "斑马", "长颈鹿",
+    "背包", "伞", "手提包", "领带", "手提箱", "飞盘", "滑雪", "滑雪板",
+    "运动球", "风筝", "棒球棒", "棒球手套", "滑板", "冲浪板", "网球拍",
+    "瓶子", "酒杯", "杯子", "叉子", "刀", "勺子", "碗", "香蕉", "苹果",
+    "三明治", "橙子", "花椰菜", "胡萝卜", "热狗", "比萨饼", "甜甜圈",
+    "蛋糕", "椅子", "沙发", "盆栽植物", "床", "餐桌", "厕所", "电视",
+    "笔记本电脑", "鼠标", "遥控器", "键盘", "手机", "微波炉", "烤箱",
+    "烤面包机", "水槽", "冰箱", "书", "钟", "花瓶", "剪刀", "泰迪熊",
+    "吹风机", "牙刷",
+]
+
 # Sparse COCO category ids in contiguous label order (data.py:667-678).
 COCO_CLASS_IDS = [
     0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20,
@@ -58,6 +74,11 @@ class CocoLabel:
     def name(cls, label_id: int) -> str:
         return (COCO_CLASS_NAMES[label_id]
                 if label_id < len(COCO_CLASS_NAMES) else "BG")
+
+    @classmethod
+    def zh_name(cls, label_id: int) -> str:
+        return (COCO_CLASS_NAMES_ZH[label_id]
+                if label_id < len(COCO_CLASS_NAMES_ZH) else "背景")
 
     @classmethod
     def from_class(cls, class_id: int) -> int:

@@ -45,7 +45,7 @@ if __name__ == "__main__":
 
     if class_ids is not None:
         for i, j in enumerate(class_ids):
-            print(j, CocoLabel.name(j), boxes[i], scores[i])
+            print(j, CocoLabel.zh_name(j), boxes[i], scores[i])
         display_instances(
             img, np.array(boxes), np.array(masks), np.array(class_ids),
             COCO_CLASS_NAMES, np.array(scores),
