@@ -185,6 +185,77 @@ class RetinaNet:
         deltas = jnp.concatenate([o[1] for o in outs], axis=1)
         return logits, deltas
 
+    def losses(self, params, key, images, gt_class_ids, gt_boxes,
+               gt_valid):
+        """One-stage training loss: focal classification + smooth-L1 box
+        regression on RPN-style anchor targets (the standard RetinaNet
+        objective; the reference ships only the backbone so this is the
+        completion that makes the variant trainable).
+
+        images: [B, H, W, 3] float, already mean-normalized
+        (ops.image.normalize_image); gt_boxes pixel coords.
+        """
+        from maskrcnn_tpu.train.losses import smooth_l1
+        from maskrcnn_tpu.train.targets import rpn_targets
+
+        cfg = self.config
+        logits, deltas = self.forward(params, images)   # [B, A, K]/[B,A,4]
+        anchors = jnp.asarray(self.anchors())
+        b = images.shape[0]
+        keys = jax.random.split(key, b)
+
+        # reuse the anchor matcher with a generous per-image budget so
+        # focal loss sees (nearly) all anchors
+        dense_cfg = cfg.replace(
+            RPN_TRAIN_ANCHORS_PER_IMAGE=anchors.shape[0])
+        tgt = jax.vmap(lambda k, c, bx, v: rpn_targets(
+            dense_cfg, k, anchors, c, bx, v))(
+                keys, gt_class_ids, gt_boxes, gt_valid)
+        match = tgt.rpn_match                            # [B, A]
+
+        # focal classification loss (alpha=0.25, gamma=2), positives get
+        # their gt class, negatives background(=0 column unused: one-hot
+        # over K with bg column 0)
+        k_cls = cfg.NUM_CLASSES
+        # per-anchor assigned class: for positives, class of best gt
+        from maskrcnn_tpu.ops.boxes import box_iou
+
+        def per_image_cls(bx, c, v):
+            iou = jnp.nan_to_num(box_iou(anchors, bx), nan=0.0)
+            iou = jnp.where(((c > 0) & v)[None, :], iou, -1.0)
+            return c[jnp.argmax(iou, axis=1)]
+
+        assigned = jax.vmap(per_image_cls)(
+            gt_boxes, gt_class_ids, gt_valid)            # [B, A]
+        onehot = jax.nn.one_hot(
+            jnp.where(match == 1, assigned, 0), k_cls)
+        p = jax.nn.sigmoid(logits)
+        pt = jnp.where(onehot > 0, p, 1.0 - p)
+        alpha = jnp.where(onehot > 0, 0.25, 0.75)
+        focal = -alpha * (1.0 - pt) ** 2 * jnp.log(
+            jnp.clip(pt, 1e-7, 1.0))
+        include = (match != 0)[..., None]                # pos+neg anchors
+        n_pos = jnp.maximum((match == 1).sum(), 1)
+        cls_loss = jnp.sum(focal * include) / n_pos
+
+        # box regression on positives
+        from maskrcnn_tpu.ops.boxes import box_deltas as bd
+        std = jnp.asarray(cfg.RPN_BBOX_STD_DEV, jnp.float32)
+
+        def per_image_box(bx, c, v, dl):
+            iou = jnp.nan_to_num(box_iou(anchors, bx), nan=0.0)
+            iou = jnp.where(((c > 0) & v)[None, :], iou, -1.0)
+            tgt_box = bx[jnp.argmax(iou, axis=1)]
+            t = jnp.nan_to_num(bd(anchors, tgt_box) / std, nan=0.0,
+                               posinf=0.0, neginf=0.0)
+            return smooth_l1(dl - t)
+
+        box_l1 = jax.vmap(per_image_box)(
+            gt_boxes, gt_class_ids, gt_valid, deltas)    # [B, A, 4]
+        pos = (match == 1).astype(jnp.float32)[..., None]
+        box_loss = jnp.sum(box_l1 * pos) / jnp.maximum(pos.sum() * 4, 1)
+        return cls_loss + box_loss, {"cls": cls_loss, "box": box_loss}
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def detect(self, params, images):
         """Dense decode -> class-aware NMS -> padded detections."""

@@ -34,3 +34,45 @@ def test_retina_detect_smoke(rng):
     assert boxes.min() >= 0 and boxes.max() <= d
     # anchors cover 5 levels
     assert net.anchors().shape[1] == 4
+
+
+def test_retina_focal_loss_trains(rng):
+    """Focal+box loss is finite and decreases under SGD on one batch."""
+    import optax
+    from tests.test_targets import make_gt
+
+    cfg = TinyConfig()
+    net = RetinaNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    d = cfg.IMAGE_MAX_DIM
+    from maskrcnn_tpu.ops.image import normalize_image
+    raw = (rng.rand(2, d, d, 3) * 255).astype(np.uint8)
+    images = normalize_image(jnp.asarray(raw), cfg.MEAN_PIXEL)
+    g = cfg.MAX_GT_INSTANCES
+    cls = np.zeros((2, g), np.int32)
+    boxes = np.zeros((2, g, 4), np.float32)
+    valid = np.zeros((2, g), bool)
+    for i in range(2):
+        c, bx, v = make_gt(cfg, rng, 3)
+        cls[i], boxes[i], valid[i] = c, bx, v
+
+    key = jax.random.PRNGKey(1)
+
+    def loss_fn(p):
+        total, parts = net.losses(p, key, images, jnp.asarray(cls),
+                                  jnp.asarray(boxes), jnp.asarray(valid))
+        return total
+
+    opt = optax.chain(optax.clip_by_global_norm(5.0),
+                      optax.sgd(1e-3, momentum=0.9))
+    state = opt.init(params)
+    val = jax.jit(loss_fn)
+    grad = jax.jit(jax.grad(loss_fn))
+    first = float(val(params))
+    assert np.isfinite(first)
+    for _ in range(4):
+        g_ = grad(params)
+        updates, state = opt.update(g_, state)
+        params = optax.apply_updates(params, updates)
+    last = float(val(params))
+    assert np.isfinite(last) and last < first, (first, last)
