@@ -53,7 +53,7 @@ def make_loop(model, iters: int):
     return loop
 
 
-def bench(batch_sizes=(16, 8, 4, 1), iters: int = 8):
+def bench(batch_sizes=(32, 16, 8, 1), iters: int = 8):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/maskrcnn_tpu_jax_cache")
