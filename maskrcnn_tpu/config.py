@@ -84,9 +84,11 @@ class Config:
     COMPUTE_DTYPE: str = "bfloat16"
     # Mesh axis name for data parallelism.
     MESH_AXIS_DP: str = "dp"
-    # Rematerialise backbone stage activations during backward (memory
-    # for FLOPs trade; enables large per-chip train batches at 1024px).
-    REMAT_BACKBONE: bool = False
+    # Rematerialise backbone stage activations during backward. Measured
+    # strictly better on v5e at 1024px (12.8 vs 12.0 img/s at batch 4:
+    # the HBM pressure relief outweighs the recompute) and required for
+    # large per-chip batches. No effect on inference.
+    REMAT_BACKBONE: bool = True
     # Matmul/conv precision: "default" lets f32 convs use bf16 passes on
     # TPU (fast); "float32"/"highest" forces full precision — use with
     # COMPUTE_DTYPE="float32" for exact-parity evaluation runs.
