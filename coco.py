@@ -19,6 +19,9 @@ import jax
 
 from maskrcnn_tpu.api import Detector
 from maskrcnn_tpu.config import CocoConfig, CocoInferenceConfig
+from maskrcnn_tpu.utils.profiler import enable_compile_cache
+
+enable_compile_cache()
 from maskrcnn_tpu.data.coco import CocoDataset
 from maskrcnn_tpu.data.pipeline import BatchLoader
 from maskrcnn_tpu.eval.evaluate import evaluate_coco
@@ -80,6 +83,10 @@ def main():
         val_iter = BatchLoader(val_ds, config.BATCH_SIZE)
 
         trainer = Trainer(model, checkpoint_dir=args.logs)
+        # Resume: newest epoch checkpoint under --logs wins over --model
+        # (reference parses the epoch out of the checkpoint filename,
+        # model.py:1045-1093; here it's directory metadata).
+        params, resumed = trainer.try_resume(params)
         trainer.fit_coco_schedule(params, train_iter,
                                   jax.random.PRNGKey(1),
                                   val_iter=val_iter)

@@ -167,8 +167,10 @@ def poly_to_rle(poly: Sequence[float], h: int, w: int) -> RLE:
     xy = np.asarray(poly, np.float64)
     k = len(xy) // 2
     scale = 5.0
-    x = np.floor(scale * xy[0::2] + 0.5).astype(np.int64)
-    y = np.floor(scale * xy[1::2] + 0.5).astype(np.int64)
+    # C quantizes with (int)(v + .5): truncation toward zero, NOT floor —
+    # they differ for negative (out-of-canvas) coordinates
+    x = np.trunc(scale * xy[0::2] + 0.5).astype(np.int64)
+    y = np.trunc(scale * xy[1::2] + 0.5).astype(np.int64)
     x = np.concatenate([x, x[:1]])
     y = np.concatenate([y, y[:1]])
 
@@ -185,13 +187,13 @@ def poly_to_rle(poly: Sequence[float], h: int, w: int) -> RLE:
             d = np.arange(dx + 1)
             t = (dx - d) if flip else d
             us.append(t + xs)
-            vs.append(np.floor(ys + s * t + 0.5).astype(np.int64))
+            vs.append(np.trunc(ys + s * t + 0.5).astype(np.int64))
         else:
             s = (xe - xs) / dy if dy > 0 else 0.0
             d = np.arange(dy + 1)
             t = (dy - d) if flip else d
             vs.append(t + ys)
-            us.append(np.floor(xs + s * t + 0.5).astype(np.int64))
+            us.append(np.trunc(xs + s * t + 0.5).astype(np.int64))
     u = np.concatenate(us)
     v = np.concatenate(vs)
 

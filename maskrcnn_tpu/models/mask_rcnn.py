@@ -66,7 +66,14 @@ class MaskRCNN:
 
     # ---- init ----
     def init(self, rng: jax.Array) -> Params:
-        """Initialise all parameters (reference: model.py:974-1035)."""
+        """Initialise all parameters (reference: model.py:974-1035).
+
+        Jitted as one program: eager flax init would dispatch every
+        primitive separately, which costs minutes of per-op compiles on
+        a remote-compile TPU backend."""
+        return jax.jit(self._init)(rng)
+
+    def _init(self, rng: jax.Array) -> Params:
         cfg = self.config
         k_fpn, k_rpn, k_box, k_mask = jax.random.split(rng, 4)
         dummy = jnp.zeros((1, cfg.IMAGE_MAX_DIM, cfg.IMAGE_MAX_DIM, 3),

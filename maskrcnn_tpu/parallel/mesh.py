@@ -27,36 +27,68 @@ from maskrcnn_tpu.train.step import TrainState, train_step
 
 
 def make_mesh(num_devices: Optional[int] = None,
-              axis: str = "dp") -> Mesh:
-    """A 1-D data-parallel mesh over the first `num_devices` devices."""
+              axis: str = "dp", dcn: int = 1) -> Mesh:
+    """A data-parallel mesh over the first `num_devices` devices.
+
+    `dcn > 1` adds a leading cross-slice axis: the mesh becomes
+    (dcn, ici) shaped as ("dcn", axis). Batch shards over the product of
+    both axes; the gradient all-reduce then decomposes into a fast
+    intra-slice reduce over ICI followed by a small cross-slice reduce
+    over DCN (XLA places the collectives given contiguous device order —
+    devices within a slice are adjacent in `jax.devices()`).
+    """
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if dcn > 1:
+        if len(devices) % dcn:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"dcn={dcn}")
+        return Mesh(np.asarray(devices).reshape(dcn, -1), ("dcn", axis))
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _data_spec(mesh: Mesh, axis: Optional[str]) -> P:
+    """Batch-leading-dim sharding: over the named axis, or over ALL mesh
+    axes (dcn x dp product) when axis is None."""
+    return P(tuple(mesh.axis_names) if axis is None else axis)
+
+
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh.
+
+    Never aliases the input buffers: replicated state is what
+    `make_parallel_train_step` donates, and donating an aliased buffer
+    would delete the caller's original arrays (device_put's
+    may_alias=False does NOT prevent this — shard 0 of the replicated
+    array still shares the source buffer — so copy explicitly)."""
+    import jax.numpy as jnp
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    copied = jax.tree_util.tree_map(jnp.array, tree)
+    return jax.device_put(copied, sharding)
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "dp"):
-    """Shard every batch leaf along its leading (batch) dimension."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                axis: Optional[str] = None):
+    """Shard every batch leaf along its leading (batch) dimension over
+    all mesh axes (or one named axis)."""
+    sharding = NamedSharding(mesh, _data_spec(mesh, axis))
     return jax.device_put(batch, sharding)
 
 
 def make_parallel_train_step(model: MaskRCNN, optimizer_and_mask,
-                             mesh: Mesh, axis: str = "dp"):
+                             mesh: Mesh, axis: Optional[str] = None):
     """jit train_step with explicit shardings over the mesh.
 
-    Params/opt-state replicated, batch sharded on the dp axis; the mean
+    Params/opt-state replicated, batch sharded on the data axes; the mean
     loss makes XLA emit one reduce-scatter/all-reduce pair per step over
-    ICI. Call with state already `replicate`d and batch `shard_batch`ed.
+    ICI (then DCN for a 2-axis mesh). Call with state already
+    `replicate`d and batch `shard_batch`ed. The state is donated — the
+    caller must not reuse the input state after the call (the non-finite
+    skip guard lives inside train_step, so no caller rollback is needed).
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis))
+    data = NamedSharding(mesh, _data_spec(mesh, axis))
 
     def step(state: TrainState, batch, key):
         return train_step(model, optimizer_and_mask, state, batch, key)
@@ -67,15 +99,17 @@ def make_parallel_train_step(model: MaskRCNN, optimizer_and_mask,
     return jax.jit(
         step,
         in_shardings=(state_sharding, data, repl),
-        out_shardings=(state_sharding, repl))
+        out_shardings=(state_sharding, repl),
+        donate_argnums=(0,))
 
 
-def make_parallel_predict(model: MaskRCNN, mesh: Mesh, axis: str = "dp"):
+def make_parallel_predict(model: MaskRCNN, mesh: Mesh,
+                          axis: Optional[str] = None):
     """Batch-sharded inference over the mesh (eval sweeps)."""
     from maskrcnn_tpu.detection.pipeline import predict_step
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis))
+    data = NamedSharding(mesh, _data_spec(mesh, axis))
 
     def run(params, images, windows):
         return predict_step(model, params, images, windows)

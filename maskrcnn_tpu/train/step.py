@@ -131,7 +131,16 @@ def make_optimizer(config, learning_rate: float, decay_mask) -> optax.GradientTr
 def train_step(model: MaskRCNN, optimizer_and_mask, state: TrainState,
                batch, key) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step. optimizer_and_mask = (optax transform, trainable
-    mask pytree as a hashable static-free closure) — see trainer.py."""
+    mask pytree as a hashable static-free closure) — see trainer.py.
+
+    Not donating here keeps direct calls safe for callers that reuse
+    params (tests, notebooks); the production path is
+    `parallel.make_parallel_train_step`, which wraps this with state
+    donation (param/momentum buffers reused in-place — halves
+    train-state HBM). The non-finite-loss skip guard lives in-graph so
+    donation never strands the caller without a rollback copy: a NaN/Inf
+    total selects the old params/opt-state instead of the update (the
+    reference has no such guard; SURVEY section 5 failure detection)."""
     optimizer, trainable_fn = optimizer_and_mask
 
     def loss_fn(params):
@@ -147,6 +156,11 @@ def train_step(model: MaskRCNN, optimizer_and_mask, state: TrainState,
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
-    new_state = TrainState(step=state.step + 1, params=params,
-                           opt_state=opt_state)
+    ok = jnp.isfinite(losses.total)
+    keep = lambda new, old: jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new, old)
+    new_state = TrainState(
+        step=state.step + jnp.asarray(ok, state.step.dtype),
+        params=keep(params, state.params),
+        opt_state=keep(opt_state, state.opt_state))
     return new_state, losses.as_dict()

@@ -18,7 +18,7 @@ import numpy as np
 
 from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
 from maskrcnn_tpu.train.step import (TrainState, compute_losses,
-                                     make_optimizer, train_step)
+                                     make_optimizer)
 
 # Layer presets (reference: model.py:1509-1523), translated from the
 # torch module names to our param-tree paths.
@@ -72,7 +72,12 @@ def decay_mask(params, layer_regex: str):
 
 @dataclasses.dataclass
 class Trainer:
-    """Stage-wise trainer (reference: model.py:1490-1577 train_model)."""
+    """Stage-wise trainer (reference: model.py:1490-1577 train_model).
+
+    When `config.NUM_DEVICES > 1`, every stage runs the mesh-parallel
+    train step: params/opt-state replicated, batches sharded on the dp
+    axis, gradients all-reduced by XLA over ICI (SURVEY section 2.3 —
+    the real replacement for the reference's fake GPU_COUNT knob)."""
 
     model: MaskRCNN
     checkpoint_dir: Optional[str] = None
@@ -82,6 +87,35 @@ class Trainer:
         self.loss_history: List[Dict[str, float]] = []
         self.val_loss_history: List[Dict[str, float]] = []
         self.epoch = 0
+
+    def try_resume(self, params):
+        """Resume from the newest epoch checkpoint in checkpoint_dir
+        (replaces the reference's filename-regex resume,
+        model.py:1045-1093). Returns (params, resumed: bool)."""
+        if not self.checkpoint_dir:
+            return params, False
+        from maskrcnn_tpu.checkpoint.store import (latest_epoch,
+                                                   load_checkpoint)
+        epoch = latest_epoch(self.checkpoint_dir)
+        if epoch is None:
+            return params, False
+        params, self.epoch = load_checkpoint(self.checkpoint_dir, params,
+                                             epoch)
+        print(f"Resuming from epoch {self.epoch} checkpoint in "
+              f"{self.checkpoint_dir}")
+        return params, True
+
+    def _plot_losses(self):
+        """Per-epoch loss PNGs into the log dir (reference writes 6 plots
+        per epoch: model.py:1568-1572 via utils.py:401-488)."""
+        if not self.checkpoint_dir or not self.loss_history:
+            return
+        try:
+            from maskrcnn_tpu.utils.visualize import plot_loss
+            plot_loss(self.loss_history, self.val_loss_history,
+                      log_dir=self.checkpoint_dir)
+        except Exception as e:  # plotting must never kill training
+            print(f"  WARNING: loss plot failed: {e}")
 
     def fit(self, params, train_iter: Iterable, learning_rate: float,
             epochs: int, layers: str, rng: jax.Array,
@@ -107,22 +141,36 @@ class Trainer:
         state = TrainState(step=np.int32(0), params=params,
                            opt_state=optimizer.init(params))
 
+        # One code path for 1..N devices: a NUM_DEVICES-wide dp mesh with
+        # the donated parallel step (a 1-device mesh degenerates to plain
+        # jit + donation; XLA inserts no collectives).
+        from maskrcnn_tpu.parallel import (make_mesh,
+                                           make_parallel_train_step,
+                                           replicate, shard_batch)
+        mesh = make_mesh(cfg.NUM_DEVICES, axis=cfg.MESH_AXIS_DP)
+        pstep = make_parallel_train_step(self.model, opt_and_mask,
+                                         mesh, axis=cfg.MESH_AXIS_DP)
+        # replicate copies (may_alias=False), so pstep's donation of the
+        # state never consumes the caller's param buffers
+        state = replicate(state, mesh)
+        if cfg.NUM_DEVICES > 1:
+            print(f"Data-parallel mesh: {dict(mesh.shape)} "
+                  f"(global batch {cfg.BATCH_SIZE})")
+
         for epoch in range(self.epoch + 1, epochs + 1):
             t0 = time.time()
             sums: Dict[str, float] = {}
             for step in range(steps_per_epoch):
                 batch = next(train_iter)
                 rng, key = jax.random.split(rng)
-                prev_state = state
-                state, metrics = train_step(self.model, opt_and_mask,
-                                            state, batch, key)
+                batch = shard_batch(batch, mesh)
+                state, metrics = pstep(state, batch, replicate(key, mesh))
                 # failure guard (the reference has none, SURVEY section
-                # 5): a non-finite loss skips the update instead of
-                # poisoning the run.
+                # 5): a non-finite loss skips the update in-graph
+                # (train_step keeps the old state); just report it here.
                 if not np.isfinite(float(metrics["total"])):
                     print(f"  WARNING: non-finite loss at epoch {epoch} "
                           f"step {step + 1}; step skipped")
-                    state = prev_state
                     continue
                 if (step + 1) % self.log_every == 0 or step == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -153,10 +201,11 @@ class Trainer:
                 from maskrcnn_tpu.checkpoint.store import save_checkpoint
                 save_checkpoint(self.checkpoint_dir, state.params,
                                 epoch, self.model.config)
+            self._plot_losses()
             if on_epoch_end is not None:
                 on_epoch_end(self, state.params)
 
-        return state.params
+        return jax.device_get(state.params)
 
     def fit_coco_schedule(self, params, train_iter, rng,
                           val_iter=None, **kw):

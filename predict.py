@@ -17,6 +17,9 @@ from PIL import Image
 
 from maskrcnn_tpu.api import Detector
 from maskrcnn_tpu.config import CocoInferenceConfig
+from maskrcnn_tpu.utils.profiler import enable_compile_cache
+
+enable_compile_cache()
 from maskrcnn_tpu.data.coco import COCO_CLASS_NAMES, CocoLabel
 from maskrcnn_tpu.utils.visualize import display_instances
 
