@@ -53,7 +53,7 @@ def make_loop(model, iters: int):
     return loop
 
 
-def bench(batch_sizes=(32, 16, 8, 1), iters: int = 8):
+def bench(batch_sizes=(48, 32, 8, 1), iters: int = 8, overrides=None):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/maskrcnn_tpu_jax_cache")
@@ -62,9 +62,13 @@ def bench(batch_sizes=(32, 16, 8, 1), iters: int = 8):
     from maskrcnn_tpu.config import CocoInferenceConfig
     from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
 
-    config = CocoInferenceConfig()
+    config = CocoInferenceConfig(**(overrides or {}))
     model = MaskRCNN(config)
-    params = jax.device_put(model.init(jax.random.PRNGKey(0)))
+    params = model.init(jax.random.PRNGKey(0))
+    if config.FOLD_BN:
+        from maskrcnn_tpu.checkpoint.fold import fold_bn_params
+        params = fold_bn_params(params)
+    params = jax.device_put(params)
 
     d = config.IMAGE_MAX_DIM
     rng = np.random.RandomState(0)
@@ -98,7 +102,10 @@ def bench(batch_sizes=(32, 16, 8, 1), iters: int = 8):
 
 
 if __name__ == "__main__":
-    value, batch = bench()
+    # optional A/B config overrides: python bench.py '{"FOLD_BN": true}'
+    # (the driver passes no args and benches the production config)
+    overrides = json.loads(sys.argv[1]) if len(sys.argv) > 1 else None
+    value, batch = bench(overrides=overrides)
     print(json.dumps({
         "metric": "e2e_inference_images_per_sec_per_chip_1024px",
         "value": round(value, 3),

@@ -9,6 +9,7 @@ batch 1 everywhere.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -20,6 +21,27 @@ from maskrcnn_tpu.detection.pipeline import predict_step
 from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _device_decode_masks(masks_packed, windows, ohs, ows, out_dim,
+                         canvas_dim):
+    """Canvas masks -> original-coordinate masks, fully on device.
+
+    masks_packed: [B, N, D, D/8] uint8 (predict_step output);
+    windows: [B, 4]; ohs/ows: [B] int32 original sizes (<= out_dim).
+    Returns [B, N, out_dim, out_dim/8] packed bits.
+    """
+    from maskrcnn_tpu.ops.bits import pack_masks_device, unpack_masks
+    from maskrcnn_tpu.ops.mask_paste import masks_to_original
+
+    masks = unpack_masks(masks_packed, canvas_dim).astype(bool)
+
+    def per_image(m, w, oh, ow):
+        return masks_to_original(m, w, oh, ow, out_dim)
+
+    orig = jax.vmap(per_image)(masks, windows, ohs, ows)
+    return pack_masks_device(orig)
+
+
 class Detector:
     """Stateful convenience wrapper around the pure pipeline."""
 
@@ -28,12 +50,18 @@ class Detector:
         self.model = MaskRCNN(config)
         if params is None:
             params = self.model.init(jax.random.PRNGKey(rng_seed))
-        self.params = params
+        self.params = self._prepare(params)
+
+    def _prepare(self, params):
+        if self.config.FOLD_BN:
+            from maskrcnn_tpu.checkpoint.fold import fold_bn_params
+            params = fold_bn_params(params)
+        return params
 
     def load_weights(self, path: str):
         from maskrcnn_tpu.checkpoint.store import load_params
-        self.params = load_params(path, self.params,
-                                  self.config.BACKBONE)
+        self.params = self._prepare(
+            load_params(path, self.params, self.config.BACKBONE))
 
     def detect(self, image: np.ndarray):
         """Single image -> (class_ids, scores, boxes, masks) in original
@@ -62,13 +90,32 @@ class Detector:
                 out = predict_step(self.model, self.params, batch, win)
         else:
             out = predict_step(self.model, self.params, batch, win)
-        # fetch only what the host needs; full masks travel bit-packed
-        # (8x less device->host traffic than bool)
-        fetched = jax.device_get({k: out[k] for k in (
-            "class_ids", "scores", "boxes", "valid", "masks_packed")})
+
         d = cfg.IMAGE_MAX_DIM
-        masks_full = np.unpackbits(
-            fetched["masks_packed"], axis=-1)[..., :d].astype(bool)
+        out_dim = cfg.ORIG_MASK_CANVAS
+        use_device = (cfg.DEVICE_MASK_DECODE and all(
+            max(img.shape[:2]) <= out_dim for img in images))
+        if use_device:
+            # original-coordinate masks computed on device: the host PIL
+            # loop (the reference's ~0.7 s/img bottleneck,
+            # data.py:265-284) disappears; only 1-bit masks transfer.
+            sizes = np.asarray([img.shape[:2] for img in images],
+                               np.int32)
+            orig_packed = _device_decode_masks(
+                out["masks_packed"], win, sizes[:, 0], sizes[:, 1],
+                out_dim, d)
+            fetched = jax.device_get({k: out[k] for k in (
+                "class_ids", "scores", "boxes", "valid")})
+            fetched["masks_packed"] = jax.device_get(orig_packed)
+            masks_full = np.unpackbits(
+                fetched["masks_packed"], axis=-1)[..., :out_dim]
+        else:
+            # fetch only what the host needs; full masks travel
+            # bit-packed (8x less device->host traffic than bool)
+            fetched = jax.device_get({k: out[k] for k in (
+                "class_ids", "scores", "boxes", "valid", "masks_packed")})
+            masks_full = np.unpackbits(
+                fetched["masks_packed"], axis=-1)[..., :d].astype(bool)
 
         def decode_one(i):
             img = images[i]
@@ -79,11 +126,16 @@ class Detector:
             scores = fetched["scores"][i][valid].tolist()
             boxes = decode_boxes(fetched["boxes"][i][valid], scales[i],
                                  windows[i]).tolist()
-            masks = decode_masks(masks_full[i][valid], scales[i],
-                                 windows[i], img.shape[0], img.shape[1])
+            if use_device:
+                oh, ow = img.shape[:2]
+                masks = masks_full[i][valid][:, :oh, :ow].astype(np.uint8)
+            else:
+                masks = decode_masks(masks_full[i][valid], scales[i],
+                                     windows[i], img.shape[0],
+                                     img.shape[1])
             return (class_ids, scores, boxes, masks)
 
-        # per-image mask decode is PIL-bound (~50 resizes each); PIL
+        # host decode fallback is PIL-bound (~50 resizes each); PIL
         # releases the GIL, so thread across images to keep pace with
         # the ~100 img/s device pipeline
         from concurrent.futures import ThreadPoolExecutor

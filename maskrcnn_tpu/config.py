@@ -95,6 +95,19 @@ class Config:
     MATMUL_PRECISION: str = "default"
     # NMS backend: "xla" (portable lax loop) or "pallas" (TPU kernel).
     NMS_IMPL: str = "xla"
+    # Inference-only: frozen BN folded into conv kernels at weight-load
+    # (checkpoint.fold.fold_bn_params); the runtime affine is skipped.
+    # Must never be used for training — it changes gradient geometry.
+    FOLD_BN: bool = False
+    # Space-to-depth stem: 7x7/2 conv on 3 channels -> identical 4x4/1
+    # conv on a (2,2)-blocked 12-channel input (better MXU occupancy).
+    S2D_STEM: bool = False
+    # Produce detection masks in original-image coordinates on device
+    # (ops/mask_paste.masks_to_original), replacing the host PIL
+    # decode_masks loop (~0.7 s/img single-threaded). Images larger than
+    # ORIG_MASK_CANVAS on a side fall back to the host path.
+    DEVICE_MASK_DECODE: bool = True
+    ORIG_MASK_CANVAS: int = 640  # >= the largest COCO val image side
 
     # ---- computed attributes (reference: config.py:145-164) ----
     @property

@@ -35,12 +35,16 @@ class FPN(nn.Module):
     out_channels: int = 256
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fold_bn: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
         oc = self.out_channels
         _, c2, c3, c4, c5 = ResNet(self.architecture, stage5=True,
                                    dtype=self.dtype, remat=self.remat,
+                                   fold_bn=self.fold_bn,
+                                   s2d_stem=self.s2d_stem,
                                    name="resnet")(x)
 
         p5 = Conv(oc, (1, 1), dtype=self.dtype, name="P5_conv1")(c5)

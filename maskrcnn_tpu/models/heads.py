@@ -31,6 +31,7 @@ class BoxHead(nn.Module):
     num_classes: int
     pool_size: int = 7
     dtype: Dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, pooled):
@@ -40,11 +41,13 @@ class BoxHead(nn.Module):
         # (reference: model.py:731) -> [N, 1, 1, 1024].
         x = Conv(1024, (self.pool_size, self.pool_size), padding="VALID",
                     dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(1024, dtype=self.dtype, name="bn1")(x)
+        x = FrozenBatchNorm(1024, dtype=self.dtype, name="bn1",
+                            folded=self.fold_bn)(x)
         x = nn.relu(x)
         x = Conv(1024, (1, 1), padding="VALID", dtype=self.dtype,
                     name="conv2")(x)
-        x = FrozenBatchNorm(1024, dtype=self.dtype, name="bn2")(x)
+        x = FrozenBatchNorm(1024, dtype=self.dtype, name="bn2",
+                            folded=self.fold_bn)(x)
         x = nn.relu(x)
         x = x.reshape(n, 1024)
 
@@ -64,6 +67,7 @@ class MaskHead(nn.Module):
 
     num_classes: int
     dtype: Dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, pooled):
@@ -72,7 +76,8 @@ class MaskHead(nn.Module):
         for i in range(1, 5):
             x = Conv(256, (3, 3), padding=pad, dtype=self.dtype,
                         name=f"conv{i}")(x)
-            x = FrozenBatchNorm(256, dtype=self.dtype, name=f"bn{i}")(x)
+            x = FrozenBatchNorm(256, dtype=self.dtype, name=f"bn{i}",
+                                folded=self.fold_bn)(x)
             x = nn.relu(x)
         # Deconv 2x2 stride 2 (model.py:864): 14 -> 28.
         x = ConvT(256, (2, 2), strides=(2, 2),

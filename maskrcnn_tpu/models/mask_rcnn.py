@@ -44,7 +44,9 @@ class MaskRCNN:
     def fpn(self) -> FPN:
         return FPN(architecture=self.config.BACKBONE,
                    dtype=_dtype(self.config),
-                   remat=self.config.REMAT_BACKBONE)
+                   remat=self.config.REMAT_BACKBONE,
+                   fold_bn=self.config.FOLD_BN,
+                   s2d_stem=self.config.S2D_STEM)
 
     @property
     def rpn(self) -> RPNHead:
@@ -57,12 +59,14 @@ class MaskRCNN:
     def box_head(self) -> BoxHead:
         return BoxHead(num_classes=self.config.NUM_CLASSES,
                        pool_size=self.config.POOL_SIZE,
-                       dtype=_dtype(self.config))
+                       dtype=_dtype(self.config),
+                       fold_bn=self.config.FOLD_BN)
 
     @property
     def mask_head(self) -> MaskHead:
         return MaskHead(num_classes=self.config.NUM_CLASSES,
-                        dtype=_dtype(self.config))
+                        dtype=_dtype(self.config),
+                        fold_bn=self.config.FOLD_BN)
 
     # ---- init ----
     def init(self, rng: jax.Array) -> Params:

@@ -84,6 +84,74 @@ def paste_masks(masks: jnp.ndarray,
     return val > 127.5
 
 
+def _pil_resize_operator(top: jnp.ndarray, span: jnp.ndarray,
+                         out_size: jnp.ndarray, in_dim: int,
+                         out_dim: int) -> jnp.ndarray:
+    """[out_dim, in_dim] operator reproducing PIL Image.resize(BILINEAR)
+    of canvas[top : top+span] down/up to `out_size` pixels.
+
+    Pillow's bilinear is antialiased on downscale: the triangle filter's
+    support scales with the reduction factor and taps are normalised to
+    sum 1 (ImagingResampleHorizontal). For output pixel Y:
+        center = top + (Y + 0.5) * span / out_size
+        w(d) = max(0, 1 - |d + 0.5 - center| / max(span/out_size, 1))
+    restricted to taps inside the crop, then row-normalised. Rows with
+    Y >= out_size are zero (static out_dim canvas, dynamic out_size).
+    top/span/out_size are traced scalars, so one jitted program serves
+    every window/original-size combination.
+    """
+    span = jnp.maximum(span.astype(jnp.float32), 1.0)
+    out_size = jnp.maximum(out_size.astype(jnp.float32), 1.0)
+    top = top.astype(jnp.float32)
+    scale = span / out_size
+    fs = jnp.maximum(scale, 1.0)
+    ys = jnp.arange(out_dim, dtype=jnp.float32)
+    ds = jnp.arange(in_dim, dtype=jnp.float32)
+    center = top + (ys + 0.5) * scale           # [out_dim]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(ds[None, :] + 0.5
+                                       - center[:, None]) / fs)
+    inside = (ds[None, :] >= top) & (ds[None, :] < top + span)
+    w = w * inside
+    w = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return w * (ys[:, None] < out_size)
+
+
+def masks_to_original(canvas_masks: jnp.ndarray, window: jnp.ndarray,
+                      orig_h: jnp.ndarray, orig_w: jnp.ndarray,
+                      out_dim: int, chunk: int = 8) -> jnp.ndarray:
+    """Canvas-space masks -> original-image coordinates, on device.
+
+    Replaces the reference's host loop (data.py:265-284 decode_masks: per
+    mask, crop the window then PIL-resize the whole canvas mask to the
+    original size and threshold >127) with two batched matmuls per chunk.
+    One image: canvas_masks [N, D, D] bool, window (top, left, bottom,
+    right), original size (orig_h, orig_w) <= out_dim. Returns
+    [N, out_dim, out_dim] bool with the mask in rows [:orig_h, :orig_w].
+    """
+    n, d, _ = canvas_masks.shape
+    window = window.astype(jnp.float32)
+    ry = _pil_resize_operator(window[0], window[2] - window[0],
+                              orig_h, d, out_dim)           # [OUT, D]
+    rx = _pil_resize_operator(window[1], window[3] - window[1],
+                              orig_w, d, out_dim)           # [OUT, D]
+
+    def one_chunk(m):
+        v = m.astype(jnp.float32) * 255.0                    # [c, D, D]
+        rows = jnp.einsum("yd,ndx->nyx", ry, v,
+                          preferred_element_type=jnp.float32)
+        out = jnp.einsum("nyx,wx->nyw", rows, rx,
+                         preferred_element_type=jnp.float32)
+        return out > 127.5
+
+    pad = (-n) % chunk
+    if pad:
+        canvas_masks = jnp.pad(canvas_masks,
+                               ((0, pad), (0, 0), (0, 0)))
+    mc = canvas_masks.reshape(-1, chunk, d, d)
+    out = jax.lax.map(one_chunk, mc)
+    return out.reshape(-1, out_dim, out_dim)[:n]
+
+
 def paste_masks_chunked(masks: jnp.ndarray, boxes: jnp.ndarray,
                         height: int, width: int,
                         chunk: int = 8) -> jnp.ndarray:

@@ -89,6 +89,35 @@ def test_full_eval_roundtrip(coco_dir):
     assert stats.shape == (12,)
 
 
+def test_device_mask_decode_matches_host(coco_dir):
+    """A/B gate (VERDICT r1 item 3): device-side original-coordinate
+    masks vs the reference-parity host PIL decode path."""
+    cfg = TinyConfig()
+    ds = CocoDataset(coco_dir, "minival", 2014, cfg)
+    imgs = [ds.load_image(ds.image_id(i)) for i in range(2)]
+
+    dev = Detector(cfg.replace(DEVICE_MASK_DECODE=True))
+    host = Detector(cfg.replace(DEVICE_MASK_DECODE=False),
+                    params=dev.params)
+    a = dev.detect_batch(imgs)
+    b = host.detect_batch(imgs)
+    for ra, rb in zip(a, b):
+        assert (ra is None) == (rb is None)
+        if ra is None:
+            continue
+        ca, sa, ba, ma = ra
+        cb, sb, bb, mb = rb
+        assert ca == cb
+        np.testing.assert_allclose(sa, sb, rtol=1e-5)
+        np.testing.assert_allclose(ba, bb, rtol=1e-5, atol=1e-3)
+        ma = np.asarray(ma, bool)
+        mb = np.asarray(mb, bool)
+        assert ma.shape == mb.shape
+        # random-weight masks are noisy; still, the two decodes may only
+        # disagree on the 0.5 iso-contour
+        assert (ma != mb).mean() < 0.02
+
+
 def test_batch_loader(coco_dir):
     """Threaded loader produces well-formed packed batches."""
     from maskrcnn_tpu.data.pipeline import BatchLoader

@@ -46,6 +46,47 @@ def test_paste_matches_pil_upscale(rng):
         assert disagree < 0.02, f"mask {i}: {disagree:.4f} disagreement"
 
 
+def test_masks_to_original_matches_host_decode(rng):
+    """Device-side original-coordinate mask output vs the host PIL
+    decode path (codecs.decode_masks, itself reference-parity with
+    data.py:265-284). Covers downscale (scale>1: the PIL antialiased
+    triangle filter) and upscale windows."""
+    import jax.numpy as jnp
+
+    from maskrcnn_tpu.data.codecs import decode_masks, resize_image
+    from maskrcnn_tpu.ops.mask_paste import masks_to_original
+
+    d = 128      # canvas
+    out_dim = 96
+    for trial in range(6):
+        # a real resize geometry: random original size -> canvas window
+        oh = int(rng.randint(30, 97))
+        ow = int(rng.randint(30, 97))
+        img = np.zeros((oh, ow, 3), np.uint8)
+        _, window, scale = resize_image(img, min_dim=100, max_dim=d)
+        n = 5
+        canvas_masks = rng.rand(n, d, d) > 0.6
+        # blur-ish blobs: random rectangles are more edge-representative
+        for i in range(n):
+            canvas_masks[i] = False
+            y0, x0 = rng.randint(0, d - 20, 2)
+            canvas_masks[i, y0:y0 + rng.randint(8, 60),
+                         x0:x0 + rng.randint(8, 60)] = True
+
+        want = decode_masks(canvas_masks, scale, window, oh, ow)
+        got = np.asarray(masks_to_original(
+            jnp.asarray(canvas_masks), jnp.asarray(window, jnp.float32),
+            jnp.asarray(oh), jnp.asarray(ow), out_dim))
+        assert got.shape == (n, out_dim, out_dim)
+        # nothing outside the original extent
+        assert not got[:, oh:, :].any() and not got[:, :, ow:].any()
+        crop = got[:, :oh, :ow]
+        disagree = (crop != want.astype(bool)).mean()
+        # disagreement only on the 0.5 iso-contour (PIL fixed-point
+        # filter weights vs float)
+        assert disagree < 0.02, f"trial {trial}: {disagree:.4f}"
+
+
 def test_paste_outside_box_is_false(rng):
     m = np.ones((1, 28, 28), np.float32)
     boxes = np.array([[10, 20, 30, 50]], np.float32)

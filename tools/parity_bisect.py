@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""AP-parity bisect harness: find the first diverging stage vs torch.
+
+Ready for the day real assets (`mask_rcnn_coco.pth` + COCO images)
+land (VERDICT r1, item 8). Captures per-stage activations from both the
+flax model and the torch oracle (tests/torch_oracle.py) on the same
+preprocessed inputs and reports the first stage whose relative error
+exceeds tolerance:
+
+    stage 1  backbone+FPN   (cumulative: each side runs its own chain)
+    stage 2  RPN head       (on its own side's features)
+    stage 3  proposals      (both sides decode THIS repo's rpn outputs —
+                             isolates box decode + NMS from the convs)
+    stage 4  pooled RoIs    (flax proposals fed to both sides)
+    stage 5  box head       (same pooled input both sides)
+    stage 6  mask head      (same pooled input both sides)
+
+Usage:
+    python tools/parity_bisect.py --synthetic            # self-check
+    python tools/parity_bisect.py --weights models/mask_rcnn_coco.pth \
+        --images /path/to/val2014 [--limit 4] [--tol 2e-3]
+    ... --evaluate --dataset /path/to/coco --limit 500   # then full AP
+
+Runs everything in float32 with MATMUL_PRECISION="highest" for a clean
+parity read (ROADMAP item 1); measure the bf16 AP delta separately.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_pair(weights: str | None, architecture: str, num_classes: int,
+               config):
+    """(flax params, torch oracle) from a .pth, or a matched random pair."""
+    import jax
+    import torch
+
+    from maskrcnn_tpu.checkpoint.torch_convert import (from_torch_state_dict,
+                                                       to_torch_state_dict)
+    from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+    from tests.torch_oracle import OracleMaskRCNN
+
+    oracle = OracleMaskRCNN(architecture, num_classes)
+    if weights:
+        sd = torch.load(weights, map_location="cpu")
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        params = from_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, architecture)
+        missing, unexpected = oracle.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        print(f"loaded {weights}: {len(missing)} missing, "
+              f"{len(unexpected)} unexpected oracle keys")
+    else:
+        model = MaskRCNN(config)
+        params = model.init(jax.random.PRNGKey(7))
+        sd = {k: torch.tensor(v) for k, v in
+              to_torch_state_dict(params, architecture).items()}
+        oracle.load_state_dict(sd, strict=False)
+    oracle.eval()
+    return params, oracle
+
+
+def rel_err(got: np.ndarray, want: np.ndarray) -> float:
+    scale = float(np.abs(want).max()) + 1e-6
+    return float(np.abs(np.asarray(got, np.float64)
+                        - np.asarray(want, np.float64)).max()) / scale
+
+
+def bisect_one(config, params, oracle, canvas: np.ndarray, window,
+               tol: float):
+    """Run all stages on one preprocessed canvas; return list of
+    (stage, err) and print the first divergence."""
+    import jax.numpy as jnp
+    import torch
+
+    from maskrcnn_tpu.detection.pipeline import _pool_rois, rpn_refine
+    from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+    from maskrcnn_tpu.ops.image import normalize_image
+
+    model = MaskRCNN(config)
+    x = normalize_image(jnp.asarray(canvas[None]), config.MEAN_PIXEL)
+    tx = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+
+    report = []
+
+    # 1: backbone + FPN (cumulative)
+    feats = model.backbone(params, x)
+    with torch.no_grad():
+        tfeats = oracle.fpn(tx)
+    err = max(rel_err(np.asarray(f).transpose(0, 3, 1, 2), tf.numpy())
+              for f, tf in zip(feats, tfeats))
+    report.append(("backbone+fpn", err))
+
+    # 2: RPN over all levels (each side on its own features)
+    logits, probs, deltas = model.rpn_detect(params, feats)
+    with torch.no_grad():
+        touts = [oracle.rpn(tf) for tf in tfeats]
+        tlogits = torch.cat([o[0] for o in touts], dim=1)
+        tdeltas = torch.cat([o[1] for o in touts], dim=1)
+    err = max(rel_err(np.asarray(logits), tlogits.numpy()),
+              rel_err(np.asarray(deltas), tdeltas.numpy()))
+    report.append(("rpn", err))
+
+    # 3: proposal decode+NMS — both sides from THIS repo's rpn outputs
+    # (a torch proposal layer would only re-test ops already oracled in
+    # tests/; the informative signal is decode/NMS on real activations)
+    anchors = jnp.asarray(model.anchors())
+    proposals, pvalid = rpn_refine(config, anchors, probs[0], deltas[0])
+    nvalid = int(np.asarray(pvalid).sum())
+    report.append(("proposals", 0.0))
+
+    # 4-6: heads on the same flax proposals
+    pooled = _pool_rois([f for f in feats[:4]], proposals[None],
+                        config.POOL_SIZE, config.IMAGE_SHAPE)[0]
+    mlogits, mprobs, mdeltas = model.classify(params, pooled)
+    with torch.no_grad():
+        tpooled = torch.tensor(np.asarray(pooled).transpose(0, 3, 1, 2))
+        tl, td = oracle.classifier(tpooled)
+    err = max(rel_err(np.asarray(mlogits), tl.numpy()),
+              rel_err(np.asarray(mdeltas), td.numpy()))
+    report.append(("box_head", err))
+
+    pooled_m = _pool_rois([f for f in feats[:4]], proposals[None],
+                          config.MASK_POOL_SIZE, config.IMAGE_SHAPE)[0]
+    masks = model.predict_masks(params, pooled_m)
+    with torch.no_grad():
+        tm = oracle.mask(torch.tensor(
+            np.asarray(pooled_m).transpose(0, 3, 1, 2)))
+    err = rel_err(np.asarray(masks).transpose(0, 3, 1, 2), tm.numpy())
+    report.append(("mask_head", err))
+
+    first_bad = None
+    for stage, err in report:
+        flag = ""
+        if err > tol and first_bad is None:
+            first_bad = stage
+            flag = "   <-- FIRST DIVERGENCE"
+        print(f"  {stage:14s} rel_err={err:.2e}{flag}")
+    print(f"  proposals: {nvalid} valid")
+    if first_bad is None:
+        print(f"  all stages within tol={tol}")
+    return report, first_bad
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--weights", default=None,
+                    help=".pth checkpoint (default: synthetic pair)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="random matched weights + random image")
+    ap.add_argument("--images", default=None, help="image dir")
+    ap.add_argument("--limit", type=int, default=2)
+    ap.add_argument("--tol", type=float, default=2e-3)
+    ap.add_argument("--image-dim", type=int, default=None,
+                    help="canvas size override (synthetic: 256)")
+    ap.add_argument("--evaluate", action="store_true",
+                    help="after bisect, run COCO eval in f32")
+    ap.add_argument("--dataset", default=None)
+    args = ap.parse_args()
+
+    from maskrcnn_tpu.config import CocoInferenceConfig
+    from maskrcnn_tpu.data.codecs import resize_image
+
+    dim = args.image_dim or (256 if not args.images else 1024)
+    config = CocoInferenceConfig(
+        COMPUTE_DTYPE="float32", MATMUL_PRECISION="highest",
+        IMAGE_MIN_DIM=min(800, dim), IMAGE_MAX_DIM=dim)
+    if args.synthetic or not args.weights:
+        print("synthetic pair (random matched weights)")
+    params, oracle = build_pair(args.weights, config.BACKBONE,
+                                config.NUM_CLASSES, config)
+
+    import jax
+    with jax.default_matmul_precision("highest"):
+        if args.images:
+            from PIL import Image
+            names = sorted(os.listdir(args.images))[:args.limit]
+            for name in names:
+                img = np.asarray(Image.open(
+                    os.path.join(args.images, name)).convert("RGB"))
+                canvas, window, _ = resize_image(
+                    img, config.IMAGE_MIN_DIM, config.IMAGE_MAX_DIM)
+                print(f"{name}:")
+                bisect_one(config, params, oracle, canvas, window,
+                           args.tol)
+        else:
+            rng = np.random.RandomState(0)
+            canvas = rng.randint(0, 255, (dim, dim, 3), np.uint8)
+            print("random image:")
+            bisect_one(config, params, oracle, canvas,
+                       (0, 0, dim, dim), args.tol)
+
+    if args.evaluate and args.dataset:
+        from maskrcnn_tpu.api import Detector
+        from maskrcnn_tpu.data.coco import CocoDataset
+        from maskrcnn_tpu.eval.evaluate import evaluate_coco
+        det = Detector(config, params=params)
+        ds = CocoDataset(args.dataset, "minival", 2014, config)
+        evaluate_coco(det, ds, ds.coco, "bbox", limit=args.limit)
+        evaluate_coco(det, ds, ds.coco, "segm", limit=args.limit)
+
+
+if __name__ == "__main__":
+    main()
