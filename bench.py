@@ -101,15 +101,65 @@ def bench(batch_sizes=(48, 32, 8, 1), iters: int = 8, overrides=None):
     return best, best_batch
 
 
+def bench_detector(batch: int = 32, rounds: int = 3) -> float:
+    """Honest end-to-end throughput through the public Detector API:
+    host PIL resize+pad, device pipeline, device original-coordinate
+    mask decode, host unpack — everything a `coco.py evaluate` image
+    pays except JPEG decode and RLE encode."""
+    import jax
+
+    from maskrcnn_tpu.api import Detector
+    from maskrcnn_tpu.config import CocoInferenceConfig
+
+    det = Detector(CocoInferenceConfig())
+    rng = np.random.RandomState(0)
+    images = [rng.randint(0, 255, (480, 640, 3), np.uint8)
+              for _ in range(batch)]
+    det.detect_batch(images)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        out = det.detect_batch(images)
+    dt = time.perf_counter() - t0
+    assert len(out) == batch
+    ips = batch * rounds / dt
+
+    # host<->device bandwidth probe: in this dev harness the TPU sits
+    # behind a tunnel and detect_batch moves ~5MB/img, so the e2e number
+    # is transfer-bound; production PCIe/co-located serving tracks the
+    # device rate. Report the measured bandwidth so the context is
+    # visible in the record.
+    blob = np.zeros((64, 1024, 1024), np.uint8)  # 64MB
+    t0 = time.perf_counter()
+    jax.device_put(blob).block_until_ready()
+    h2d = 64.0 / (time.perf_counter() - t0)
+    print(f"detector end-to-end: {ips:.2f} img/s (batch {batch}); "
+          f"h2d {h2d:.1f} MB/s", file=sys.stderr)
+    return ips, h2d
+
+
 if __name__ == "__main__":
     # optional A/B config overrides: python bench.py '{"FOLD_BN": true}'
     # (the driver passes no args and benches the production config)
     overrides = json.loads(sys.argv[1]) if len(sys.argv) > 1 else None
     value, batch = bench(overrides=overrides)
+    try:
+        e2e, h2d = bench_detector()
+        e2e, h2d = round(e2e, 3), round(h2d, 1)
+    except Exception as e:
+        print(f"detector bench failed: {e}", file=sys.stderr)
+        e2e = h2d = None
     print(json.dumps({
         "metric": "e2e_inference_images_per_sec_per_chip_1024px",
         "value": round(value, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_IMG_PER_SEC, 2),
         "batch_size": batch,
+        # secondary: through the public Detector API incl. host
+        # preprocess + original-coordinate mask decode (the honest
+        # `coco.py evaluate` per-image cost, sans JPEG/RLE). In this
+        # dev harness it is bounded by the host<->device tunnel
+        # (~5MB moved per image at harness_h2d_MBps) — co-located
+        # PCIe serving tracks the headline device rate.
+        "detector_e2e_img_per_sec": e2e,
+        "harness_h2d_MBps": h2d,
     }))

@@ -57,21 +57,32 @@ def main(batch: int = 4, remat: bool = True):
     batch_dev = jax.device_put(raw)
     key = jax.random.PRNGKey(1)
 
+    iters = 4
+
+    # K steps inside one jit (carrying the TrainState) — the dev tunnel's
+    # ~30ms dispatch latency would otherwise dominate a per-step timing.
+    @jax.jit
+    def loop(state, batch, key):
+        def body(i, carry):
+            st, _ = carry
+            st2, metrics = train_step(model, opt_and_mask, st, batch,
+                                      jax.random.fold_in(key, i))
+            return st2, metrics["total"]
+
+        return jax.lax.fori_loop(0, iters, body,
+                                 (state, jnp.float32(0.0)))
+
     t0 = time.time()
-    state, metrics = train_step(model, opt_and_mask, state, batch_dev, key)
-    loss = float(metrics["total"])
-    print(f"compile+first step: {time.time() - t0:.0f}s loss={loss:.3f}",
-          file=sys.stderr)
+    state, loss = loop(state, batch_dev, key)
+    loss = float(loss)
+    print(f"compile+first {iters} steps: {time.time() - t0:.0f}s "
+          f"loss={loss:.3f}", file=sys.stderr)
     assert np.isfinite(loss)
 
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        state, metrics = train_step(model, opt_and_mask, state, batch_dev,
-                                    key)
-        float(metrics["total"])
-        ts.append(time.time() - t0)
-    dt = min(ts)
+    t0 = time.time()
+    state, loss = loop(state, batch_dev, key)
+    float(loss)
+    dt = (time.time() - t0) / iters
     print(f"batch {batch} remat={remat}: {dt:.3f}s/step -> "
           f"{batch / dt:.2f} img/s ({1e3 * dt / batch:.1f} ms/img)")
 

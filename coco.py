@@ -79,8 +79,13 @@ def main():
 
         train_ds = CocoDataset(args.dataset, "train", args.year, config)
         val_ds = CocoDataset(args.dataset, "minival", args.year, config)
-        train_iter = BatchLoader(train_ds, config.BATCH_SIZE)
-        val_iter = BatchLoader(val_ds, config.BATCH_SIZE)
+        # per-host shard: each process loads 1/process_count of every
+        # global batch; shard_batch assembles the global array
+        nproc, pid = jax.process_count(), jax.process_index()
+        train_iter = BatchLoader(train_ds, config.BATCH_SIZE // nproc,
+                                 shard_index=pid, num_shards=nproc)
+        val_iter = BatchLoader(val_ds, config.BATCH_SIZE // nproc,
+                               shard_index=pid, num_shards=nproc)
 
         trainer = Trainer(model, checkpoint_dir=args.logs)
         # Resume: newest epoch checkpoint under --logs wins over --model

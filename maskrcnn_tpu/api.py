@@ -107,15 +107,12 @@ class Detector:
             fetched = jax.device_get({k: out[k] for k in (
                 "class_ids", "scores", "boxes", "valid")})
             fetched["masks_packed"] = jax.device_get(orig_packed)
-            masks_full = np.unpackbits(
-                fetched["masks_packed"], axis=-1)[..., :out_dim]
         else:
             # fetch only what the host needs; full masks travel
             # bit-packed (8x less device->host traffic than bool)
             fetched = jax.device_get({k: out[k] for k in (
                 "class_ids", "scores", "boxes", "valid", "masks_packed")})
-            masks_full = np.unpackbits(
-                fetched["masks_packed"], axis=-1)[..., :d].astype(bool)
+        packed = fetched["masks_packed"]
 
         def decode_one(i):
             img = images[i]
@@ -126,18 +123,22 @@ class Detector:
             scores = fetched["scores"][i][valid].tolist()
             boxes = decode_boxes(fetched["boxes"][i][valid], scales[i],
                                  windows[i]).tolist()
+            # unpack bits per image AFTER the valid slice — unpacking
+            # the whole padded batch up front costs seconds at batch 32
             if use_device:
                 oh, ow = img.shape[:2]
-                masks = masks_full[i][valid][:, :oh, :ow].astype(np.uint8)
+                masks = np.unpackbits(
+                    packed[i][valid], axis=-1)[:, :oh, :ow]
             else:
-                masks = decode_masks(masks_full[i][valid], scales[i],
-                                     windows[i], img.shape[0],
-                                     img.shape[1])
+                mf = np.unpackbits(
+                    packed[i][valid], axis=-1)[..., :d].astype(bool)
+                masks = decode_masks(mf, scales[i], windows[i],
+                                     img.shape[0], img.shape[1])
             return (class_ids, scores, boxes, masks)
 
-        # host decode fallback is PIL-bound (~50 resizes each); PIL
-        # releases the GIL, so thread across images to keep pace with
-        # the ~100 img/s device pipeline
+        # host decode fallback is PIL-bound (~50 resizes each); PIL and
+        # numpy release the GIL, so thread across images to keep pace
+        # with the ~130 img/s device pipeline
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(8, len(images))) as ex:
             return list(ex.map(decode_one, range(len(images))))

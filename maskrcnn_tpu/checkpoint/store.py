@@ -36,6 +36,42 @@ def save_checkpoint(run_dir: str, params: Dict, epoch: int,
     return path
 
 
+def prune_checkpoints(run_dir: str, keep_last: int = 5) -> None:
+    """Keep the newest `keep_last` epoch checkpoints (plus the one marked
+    best, if any); delete the rest. The reference keeps every epoch's
+    .pth forever (model.py:1575) — at 170MB+/checkpoint that's the
+    difference between a run dir and a disk-full incident."""
+    import shutil
+    if not os.path.isdir(run_dir):
+        return
+    epochs = sorted(
+        int(m.group(1)) for m in
+        (re.fullmatch(r"epoch_(\d{4})", n) for n in os.listdir(run_dir))
+        if m)
+    best = best_epoch(run_dir)
+    for e in epochs[:-keep_last] if keep_last > 0 else []:
+        if e == best:
+            continue
+        shutil.rmtree(checkpoint_path(run_dir, e), ignore_errors=True)
+
+
+def mark_best(run_dir: str, epoch: int) -> None:
+    """Record the best-metric epoch (e.g. highest val AP); protected from
+    pruning and loadable via `load_checkpoint(run_dir, p, best_epoch(d))`."""
+    with open(os.path.join(os.path.abspath(run_dir), "BEST"), "w") as f:
+        f.write(str(int(epoch)))
+
+
+def best_epoch(run_dir: str) -> Optional[int]:
+    path = os.path.join(os.path.abspath(run_dir), "BEST")
+    if not os.path.exists(path):
+        return None
+    try:
+        return int(open(path).read().strip())
+    except ValueError:
+        return None
+
+
 def latest_epoch(run_dir: str) -> Optional[int]:
     """Find the newest epoch checkpoint (replaces model.py:1059-1069)."""
     if not os.path.isdir(run_dir):

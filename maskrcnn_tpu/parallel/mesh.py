@@ -71,8 +71,20 @@ def replicate(tree, mesh: Mesh):
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                 axis: Optional[str] = None):
     """Shard every batch leaf along its leading (batch) dimension over
-    all mesh axes (or one named axis)."""
+    all mesh axes (or one named axis).
+
+    Multi-process meshes: each process passes its LOCAL shard (from a
+    BatchLoader constructed with shard_index=jax.process_index(),
+    num_shards=jax.process_count()) and the leaves are assembled into
+    one global jax.Array via make_array_from_process_local_data — the
+    multi-host data path (SURVEY section 2.3)."""
     sharding = NamedSharding(mesh, _data_spec(mesh, axis))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
     return jax.device_put(batch, sharding)
 
 

@@ -82,6 +82,9 @@ class Trainer:
     model: MaskRCNN
     checkpoint_dir: Optional[str] = None
     log_every: int = 10
+    # retain only the newest N epoch checkpoints (+ any marked best);
+    # 0 disables pruning (the reference keeps every epoch forever)
+    keep_last: int = 5
 
     def __post_init__(self):
         self.loss_history: List[Dict[str, float]] = []
@@ -198,9 +201,11 @@ class Trainer:
                   + " ".join(f"{k}={v:.4f}"
                              for k, v in self.loss_history[-1].items()))
             if self.checkpoint_dir:
-                from maskrcnn_tpu.checkpoint.store import save_checkpoint
+                from maskrcnn_tpu.checkpoint.store import (
+                    prune_checkpoints, save_checkpoint)
                 save_checkpoint(self.checkpoint_dir, state.params,
                                 epoch, self.model.config)
+                prune_checkpoints(self.checkpoint_dir, self.keep_last)
             self._plot_losses()
             if on_epoch_end is not None:
                 on_epoch_end(self, state.params)

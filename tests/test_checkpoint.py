@@ -136,3 +136,26 @@ def test_orbax_save_load_resume(model_params, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prune_and_best(model_params, tmp_path):
+    """keep-last-N retention + best-epoch marker (ROADMAP item 10)."""
+    from maskrcnn_tpu.checkpoint.store import (best_epoch, latest_epoch,
+                                               mark_best,
+                                               prune_checkpoints,
+                                               save_checkpoint)
+
+    _, params = model_params
+    run_dir = str(tmp_path / "run")
+    for e in range(1, 7):
+        save_checkpoint(run_dir, params, e)
+    mark_best(run_dir, 2)
+    prune_checkpoints(run_dir, keep_last=3)
+    import os
+    left = sorted(n for n in os.listdir(run_dir)
+                  if n.startswith("epoch_"))
+    # newest 3 plus the best-marked epoch survive
+    assert left == ["epoch_0002", "epoch_0004", "epoch_0005",
+                    "epoch_0006"]
+    assert best_epoch(run_dir) == 2
+    assert latest_epoch(run_dir) == 6

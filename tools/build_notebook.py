@@ -1,0 +1,298 @@
+#!/usr/bin/env python
+"""(Re)generate explore.ipynb — the executable stage-by-stage tutorial.
+
+The reference ships a 90-cell executed Chinese-language notebook walking
+FPN features, anchors, proposals and detections against golden images in
+output/ (reference: explore.ipynb, output/*.jpg). This builds our
+equivalent as code so it can be regenerated and re-executed headlessly:
+
+    python tools/build_notebook.py          # writes explore.ipynb
+    jupyter nbconvert --to notebook --execute --inplace explore.ipynb
+"""
+
+import nbformat as nbf
+
+nb = nbf.v4.new_notebook()
+C, M = nbf.v4.new_code_cell, nbf.v4.new_markdown_cell
+cells = []
+
+cells.append(M("""\
+# maskrcnn_tpu tutorial — the pipeline, stage by stage
+
+This walks the same road as the reference's `explore.ipynb` (FPN
+features → anchors → RPN proposals → detections → training), but
+TPU-native: every stage below is a pure jittable function over one
+params pytree. Weights here are random — substitute
+`load_torch_checkpoint("models/mask_rcnn_coco.pth")` for real
+detections; every render also lands in `output/` as a golden image.\
+"""))
+
+cells.append(C("""\
+import jax
+from maskrcnn_tpu.config import CocoInferenceConfig
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from maskrcnn_tpu.utils.profiler import enable_compile_cache
+
+enable_compile_cache()
+config = CocoInferenceConfig()          # NUM_CLASSES=81, min conf 0
+model = MaskRCNN(config)
+params = model.init(jax.random.PRNGKey(0))
+
+# or convert the reference's pretrained weights:
+# from maskrcnn_tpu.checkpoint.torch_convert import load_torch_checkpoint
+# params = load_torch_checkpoint("models/mask_rcnn_coco.pth")
+print(jax.devices())\
+"""))
+
+cells.append(M("""\
+`model` is an immutable bundle of pure flax modules; `params` is one
+pytree. Nothing lives on a device until a jitted function touches it —
+the same `params` drives inference, training, and the stage calls below.\
+"""))
+
+cells.append(C("""\
+import numpy as np
+from PIL import Image
+from maskrcnn_tpu.data.codecs import resize_image
+from maskrcnn_tpu.ops.image import normalize_image
+import jax.numpy as jnp
+
+img = np.asarray(Image.open("images/sample.jpg").convert("RGB"))
+canvas, window, scale = resize_image(img, 800, 1024)   # PIL parity
+x = normalize_image(jnp.asarray(canvas[None]), config.MEAN_PIXEL)
+
+feats = model.backbone(params, x)      # [P2..P6], NHWC
+for f in feats:
+    print(f.shape)                     # (1,256,256,256) ... (1,16,16,256)\
+"""))
+
+cells.append(M("""\
+The backbone is ResNet-101 with *frozen* BatchNorm — the reference
+freezes BN at build time and keeps it in eval mode forever
+(model.py:1010-1016), so here BN is a constant per-channel affine that
+XLA fuses into the convs. Below: the mean P2 activation — with random
+weights it is structured noise following the image; with real weights it
+lights up on objects.\
+"""))
+
+cells.append(C("""\
+%matplotlib inline
+import os
+import matplotlib.pyplot as plt
+os.makedirs("output", exist_ok=True)
+
+p2 = np.asarray(feats[0][0]).astype(np.float32).mean(-1)
+fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+axes[0].imshow(canvas); axes[0].set_title("input canvas (1024x1024)")
+axes[1].imshow(p2, cmap="viridis"); axes[1].set_title("P2 mean activation")
+for a in axes: a.axis("off")
+fig.savefig("output/p2_features.jpg", bbox_inches="tight", dpi=80)
+plt.show()\
+"""))
+
+cells.append(M("""\
+All 261,888 anchors are generated on host numpy once and constant-folded
+under jit (`ops/anchors.py`); (level, y, x, ratio) ordering matches the
+RPN head's reshape so scores and anchors line up 1:1. A 1-in-3000 sample
+across all 5 pyramid levels:\
+"""))
+
+cells.append(C("""\
+anchors = model.anchors()              # (261888, 4) pixel coords
+fig, ax = plt.subplots(figsize=(7, 7))
+ax.imshow(canvas)
+for a in anchors[::3000]:
+    y1, x1, y2, x2 = a
+    ax.add_patch(plt.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                               fill=False, edgecolor="cyan", lw=0.5))
+ax.set_title(f"{len(anchors):,} anchors (every 3000th)"); ax.axis("off")
+fig.savefig("output/anchors.jpg", bbox_inches="tight", dpi=80)
+plt.show()\
+"""))
+
+cells.append(M("""\
+The RPN head is one weight-shared conv applied to all five levels. The
+proposal layer — score top-k, box decode, clip, NMS — is a single jitted
+graph (`detection/pipeline.py:rpn_refine`); where the reference's CUDA
+NMS syncs a suppression bitmask back to the host per call
+(nms_cuda.cu:107-131), this NMS is an on-device fixpoint iteration.\
+"""))
+
+cells.append(C("""\
+from maskrcnn_tpu.detection.pipeline import rpn_refine
+
+logits, probs, deltas = model.rpn_detect(params, feats)
+proposals, valid = rpn_refine(config, jnp.asarray(anchors),
+                              probs[0], deltas[0])
+n_valid = int(valid.sum())
+print(proposals.shape, n_valid)        # (500, 4) normalized
+
+fig, ax = plt.subplots(figsize=(7, 7))
+ax.imshow(canvas)
+for p in np.asarray(proposals[:80]) * config.IMAGE_MAX_DIM:
+    y1, x1, y2, x2 = p
+    ax.add_patch(plt.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                               fill=False, edgecolor="lime", lw=0.7))
+ax.set_title(f"top RPN proposals ({n_valid} survive NMS)"); ax.axis("off")
+fig.savefig("output/rpn_refine.jpg", bbox_inches="tight", dpi=80)
+plt.show()\
+"""))
+
+cells.append(M("""\
+RoIAlign routes each proposal to its pyramid level
+(`4 + log2(sqrt(hw)/224)`, model.py:335-338) and fetches every output
+cell's 2x2 bilinear footprint with one gather from a level-stacked row
+table — the reference's per-level Python loop and custom CUDA crop
+kernel collapse into one XLA op. The detection head then classifies,
+refines and NMS-filters per class (class-offset trick replaces the
+per-class Python loop at model.py:1454-1475).\
+"""))
+
+cells.append(C("""\
+from maskrcnn_tpu.ops.roi_align import multilevel_roi_align
+from maskrcnn_tpu.detection.pipeline import mrn_refine
+
+pooled = multilevel_roi_align([f[0] for f in feats[:4]], proposals,
+                              config.POOL_SIZE, config.IMAGE_SHAPE)
+_, probs2, deltas2 = model.classify(params, pooled)
+det = mrn_refine(config, proposals, valid, probs2, deltas2,
+                 jnp.asarray(window, jnp.float32))
+print("detections:", int(det.valid.sum()))\
+"""))
+
+cells.append(M("""\
+The mask head produces 28x28 sigmoid masks for all 81 classes per
+detection; the detected class's slice is pasted into the full canvas
+*on device* (`ops/mask_paste.py`) — two batched matmuls against one-hot
+interpolation operators instead of the reference's per-mask PIL loop.\
+"""))
+
+cells.append(C("""\
+mask_rois = det.boxes / config.IMAGE_MAX_DIM
+pooled_m = multilevel_roi_align([f[0] for f in feats[:4]], mask_rois,
+                                config.MASK_POOL_SIZE, config.IMAGE_SHAPE)
+mask_probs = model.predict_masks(params, pooled_m)   # [N, 28, 28, 81]
+print(mask_probs.shape)
+
+grid = np.asarray(mask_probs[:8, :, :, 1], np.float32)
+fig, axes = plt.subplots(1, 8, figsize=(16, 2))
+for i, a in enumerate(axes):
+    a.imshow(grid[i], cmap="gray"); a.axis("off")
+fig.suptitle("28x28 mask logits (class 1) for 8 RoIs")
+fig.savefig("output/mask_head.jpg", bbox_inches="tight", dpi=80)
+plt.show()\
+"""))
+
+cells.append(M("""\
+`Detector.detect` reproduces the reference `model.detect()` contract —
+host resize in, (class_ids, scores, boxes, masks) in original-image
+coordinates out — with the mask decode running on device
+(`DEVICE_MASK_DECODE`). `detect_batch` is the same graph at batch>1,
+which the reference never could (asserts batch 1 throughout).\
+"""))
+
+cells.append(C("""\
+from maskrcnn_tpu.api import Detector
+from maskrcnn_tpu.utils.visualize import display_instances
+
+det_api = Detector(config, params)
+class_ids, scores, boxes, masks = det_api.detect(img)
+if class_ids is not None:
+    print(f"{len(class_ids)} detections "
+          f"(random weights -> arbitrary classes)")
+    from maskrcnn_tpu.data.coco import COCO_CLASS_NAMES
+    display_instances(img, np.asarray(boxes), np.asarray(masks),
+                      class_ids, COCO_CLASS_NAMES, scores=scores,
+                      save_path="output/detections.jpg")\
+"""))
+
+cells.append(M("""\
+Training: targets are sampled on device (fixed-shape top-k instead of
+host randperm loops), the 5-loss step is one donated jitted function,
+and `Trainer.fit` drives it over a `NUM_DEVICES`-wide dp mesh — the
+reference's `GPU_COUNT` knob only multiplied a gradient-accumulation
+counter (config.py:148-151). Below: two real steps on a synthetic
+mini-COCO (swap in a real `--dataset` path for the 3-stage schedule
+`trainer.fit_coco_schedule`).\
+"""))
+
+cells.append(C("""\
+import json, tempfile
+from maskrcnn_tpu.data.coco import CocoDataset
+from maskrcnn_tpu.data.pipeline import BatchLoader
+from maskrcnn_tpu.train.trainer import Trainer
+from maskrcnn_tpu.config import CocoConfig
+
+def make_mini_coco(root, n=4):
+    rng = np.random.RandomState(0)
+    os.makedirs(f"{root}/annotations", exist_ok=True)
+    os.makedirs(f"{root}/train2014", exist_ok=True)
+    images, anns = [], []
+    for i in range(1, n + 1):
+        arr = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+        name = f"im_{i:06d}.jpg"
+        Image.fromarray(arr).save(f"{root}/train2014/{name}")
+        images.append({"id": i, "file_name": name,
+                       "width": 320, "height": 240})
+        x0, y0 = float(rng.randint(10, 150)), float(rng.randint(10, 100))
+        bw, bh = float(rng.randint(40, 100)), float(rng.randint(40, 80))
+        anns.append({"id": i, "image_id": i, "category_id": 1,
+                     "segmentation": [[x0, y0, x0 + bw, y0,
+                                       x0 + bw, y0 + bh, x0, y0 + bh]],
+                     "area": bw * bh, "bbox": [x0, y0, bw, bh],
+                     "iscrowd": 0})
+    json.dump({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "thing"}]},
+              open(f"{root}/annotations/instances_train2014.json", "w"))
+    return root
+
+root = make_mini_coco(tempfile.mkdtemp())
+tconfig = CocoConfig(NUM_DEVICES=jax.device_count())
+tmodel = MaskRCNN(tconfig)
+tparams = tmodel.init(jax.random.PRNGKey(0))
+ds = CocoDataset(root, "train", 2014, tconfig)
+loader = BatchLoader(ds, tconfig.BATCH_SIZE)
+
+trainer = Trainer(tmodel, log_every=1)
+tparams = trainer.fit(tparams, loader, learning_rate=1e-3, epochs=1,
+                      layers="heads", rng=jax.random.PRNGKey(1),
+                      steps_per_epoch=2)
+loader.close()
+print("losses:", {k: round(v, 3)
+                  for k, v in trainer.loss_history[-1].items()})\
+"""))
+
+cells.append(M("""\
+Layer presets (`heads`, `3+`, `4+`, `5+`, `all`) mirror the reference's
+regex table (model.py:1509-1523); BatchLoader is a threaded prefetching
+host pipeline shipping bit-packed masks (32x less transfer than the
+reference's float masks). Evaluation closes the loop — the COCO stack
+(RLE codec, annotation index, COCOeval) is standalone and golden-tested
+bit-exact against the canonical C (tests/test_rle_golden.py).\
+"""))
+
+cells.append(C("""\
+from maskrcnn_tpu.eval.evaluate import evaluate_coco
+
+val_ds = CocoDataset(root, "train", 2014, tconfig,
+                     image_dir=f"{root}/train2014",
+                     annfile=f"{root}/annotations/instances_train2014.json")
+det_small = Detector(config, params)
+stats = evaluate_coco(det_small, val_ds, val_ds.coco, "bbox", limit=2)
+print("bbox AP (random weights, synthetic data):", stats[0])\
+"""))
+
+cells.append(M("""\
+That's the whole surface: `predict.py` / `coco.py` wrap exactly these
+calls with the reference's argv. For scale-out, `parallel/mesh.py`
+builds the dp mesh (ICI, plus an optional cross-slice `dcn` axis) and
+`__graft_entry__.dryrun_multichip` smoke-tests the sharded training
+step on virtual devices.\
+"""))
+
+nb["cells"] = cells
+nb["metadata"]["kernelspec"] = {
+    "display_name": "Python 3", "language": "python", "name": "python3"}
+with open("explore.ipynb", "w") as f:
+    nbf.write(nb, f)
+print(f"wrote explore.ipynb with {len(cells)} cells")
