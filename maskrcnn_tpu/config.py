@@ -95,6 +95,10 @@ class Config:
     MATMUL_PRECISION: str = "default"
     # NMS backend: "xla" (portable lax loop) or "pallas" (TPU kernel).
     NMS_IMPL: str = "xla"
+    # Inference RoIAlign backend: "xla" (patch-gather) or "pallas"
+    # (per-box DMA kernel, ops/roi_align_pallas.py; falls back to xla
+    # when pyramid levels are smaller than its patch window).
+    ROI_IMPL: str = "xla"
     # Inference-only: frozen BN folded into conv kernels at weight-load
     # (checkpoint.fold.fold_bn_params); the runtime affine is skipped.
     # Must never be used for training — it changes gradient geometry.

@@ -130,9 +130,22 @@ def mrn_refine(config: Config, proposals: jnp.ndarray,
         valid=valid)
 
 
-def _pool_rois(feature_maps, boxes, pool_size, image_shape):
-    """vmap multilevel RoIAlign over the batch: [B, N, 4] -> [B,N,P,P,C]."""
+def _pool_rois(feature_maps, boxes, pool_size, image_shape,
+               impl: str = "xla"):
+    """vmap multilevel RoIAlign over the batch: [B, N, 4] -> [B,N,P,P,C].
+
+    impl="pallas" uses the DMA kernel (ops/roi_align_pallas.py) when
+    every pyramid level is large enough for its patch window (static
+    check); inference-only — the kernel has no vjp."""
     mrn_feats = [f for f in feature_maps[:4]]  # P2..P5 only (model.py:1153)
+
+    if impl == "pallas":
+        from maskrcnn_tpu.ops.roi_align_pallas import (
+            PATCH, PATCH_X, batched_multilevel_roi_align_pallas)
+        if min(f.shape[1] for f in mrn_feats) >= PATCH and \
+                min(f.shape[2] for f in mrn_feats) >= PATCH_X - 8:
+            return batched_multilevel_roi_align_pallas(
+                mrn_feats, boxes, pool_size, image_shape)
 
     def per_image(feats, b):
         return multilevel_roi_align(feats, b, pool_size, image_shape)
@@ -162,7 +175,7 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
 
     b, r = proposals.shape[:2]
     pooled = _pool_rois(feats, proposals, config.POOL_SIZE,
-                        config.IMAGE_SHAPE)
+                        config.IMAGE_SHAPE, impl=config.ROI_IMPL)
     _, mrn_probs, mrn_deltas = model.classify(
         params, pooled.reshape(b * r, *pooled.shape[2:]))
     mrn_probs = mrn_probs.reshape(b, r, -1)
@@ -177,7 +190,7 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
     mask_rois = det.boxes / float(h)
     d = mask_rois.shape[1]
     pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
-                          config.IMAGE_SHAPE)
+                          config.IMAGE_SHAPE, impl=config.ROI_IMPL)
     mask_probs = model.predict_masks(
         params, pooled_m.reshape(b * d, *pooled_m.shape[2:]))
     mask_probs = mask_probs.reshape(b, d, *mask_probs.shape[1:])  # [B,D,28,28,K]
