@@ -66,7 +66,8 @@ def main():
     if args.command == "train":
         config = CocoConfig(NUM_DEVICES=n_dev)
     else:
-        config = CocoInferenceConfig()
+        # batch-sharded eval over the dp mesh (Detector handles it)
+        config = CocoInferenceConfig(NUM_DEVICES=n_dev)
     config.display()
 
     if args.command == "train":
@@ -105,8 +106,11 @@ def main():
         val_ds = CocoDataset(args.dataset, "minival", args.year, config)
         limit = int(args.limit)
         print(f"Running COCO evaluation on {limit} images.")
-        evaluate_coco(detector, val_ds, val_ds.coco, "bbox", limit=limit)
-        evaluate_coco(detector, val_ds, val_ds.coco, "segm", limit=limit)
+        bs = max(8, 2 * n_dev)
+        evaluate_coco(detector, val_ds, val_ds.coco, "bbox", limit=limit,
+                      batch_size=bs)
+        evaluate_coco(detector, val_ds, val_ds.coco, "segm", limit=limit,
+                      batch_size=bs)
     else:
         print(f"'{args.command}' is not recognized. "
               "Use 'train' or 'evaluate'")

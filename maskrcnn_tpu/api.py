@@ -48,6 +48,17 @@ class Detector:
     def __init__(self, config: Config, params=None, rng_seed: int = 0):
         self.config = config
         self.model = MaskRCNN(config)
+        # batch-sharded eval sweeps over a dp mesh (SURVEY section 2.3):
+        # with NUM_DEVICES > 1 each detect_batch shards its images over
+        # the mesh and XLA runs them in parallel
+        self._mesh = None
+        if config.NUM_DEVICES > 1:
+            from maskrcnn_tpu.parallel import (make_mesh,
+                                               make_parallel_predict)
+            self._mesh = make_mesh(config.NUM_DEVICES,
+                                   axis=config.MESH_AXIS_DP)
+            self._parallel_predict = make_parallel_predict(
+                self.model, self._mesh)
         if params is None:
             params = self.model.init(jax.random.PRNGKey(rng_seed))
         self.params = self._prepare(params)
@@ -56,6 +67,9 @@ class Detector:
         if self.config.FOLD_BN:
             from maskrcnn_tpu.checkpoint.fold import fold_bn_params
             params = fold_bn_params(params)
+        if self._mesh is not None:
+            from maskrcnn_tpu.parallel import replicate
+            params = replicate(params, self._mesh)
         return params
 
     def load_weights(self, path: str):
@@ -72,6 +86,22 @@ class Detector:
             return None, None, None, None
         return out
 
+    def _run_predict(self, batch: np.ndarray, win: np.ndarray):
+        if self._mesh is None:
+            return predict_step(self.model, self.params, batch, win)
+        # shard over the mesh, padding the batch to a multiple of it
+        from maskrcnn_tpu.parallel import shard_batch
+        b = batch.shape[0]
+        pad = (-b) % self._mesh.size
+        if pad:
+            batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+            win = np.concatenate([win, win[-1:].repeat(pad, 0)])
+        sharded = shard_batch({"images": batch, "windows": win},
+                              self._mesh)
+        out = self._parallel_predict(self.params, sharded["images"],
+                                     sharded["windows"])
+        return {k: v[:b] for k, v in out.items()} if pad else out
+
     def detect_batch(self, images: Sequence[np.ndarray]):
         """Batched detection; one device round-trip for all images."""
         cfg = self.config
@@ -87,9 +117,9 @@ class Detector:
 
         if cfg.MATMUL_PRECISION != "default":
             with jax.default_matmul_precision(cfg.MATMUL_PRECISION):
-                out = predict_step(self.model, self.params, batch, win)
+                out = self._run_predict(batch, win)
         else:
-            out = predict_step(self.model, self.params, batch, win)
+            out = self._run_predict(batch, win)
 
         d = cfg.IMAGE_MAX_DIM
         out_dim = cfg.ORIG_MASK_CANVAS

@@ -118,6 +118,29 @@ def test_device_mask_decode_matches_host(coco_dir):
         assert (ma != mb).mean() < 0.02
 
 
+def test_sharded_detector_matches_single_device(coco_dir):
+    """Detector with NUM_DEVICES=8 shards detect_batch over the CPU mesh
+    and must reproduce single-device results (incl. the padded-batch
+    path: 3 images over 8 devices)."""
+    cfg = TinyConfig()
+    single = Detector(cfg)
+    sharded = Detector(cfg.replace(NUM_DEVICES=8), params=single.params)
+    ds = CocoDataset(coco_dir, "minival", 2014, cfg)
+    imgs = [ds.load_image(ds.image_id(i)) for i in range(3)]
+
+    a = single.detect_batch(imgs)
+    b = sharded.detect_batch(imgs)
+    for ra, rb in zip(a, b):
+        assert (ra is None) == (rb is None)
+        if ra is None:
+            continue
+        assert ra[0] == rb[0]
+        np.testing.assert_allclose(ra[1], rb[1], rtol=1e-5)
+        np.testing.assert_allclose(ra[2], rb[2], rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(ra[3]),
+                                      np.asarray(rb[3]))
+
+
 def test_batch_loader(coco_dir):
     """Threaded loader produces well-formed packed batches."""
     from maskrcnn_tpu.data.pipeline import BatchLoader
