@@ -10,7 +10,7 @@ batch 1 everywhere.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import numpy as np

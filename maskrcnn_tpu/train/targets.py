@@ -36,16 +36,25 @@ def _masked_iou(boxes1, boxes2, valid2):
     return jnp.where(valid2[None, :], iou, 0.0)
 
 
-def _random_keep(key, eligible: jnp.ndarray, limit) -> jnp.ndarray:
+def _random_keep(key, eligible: jnp.ndarray, limit,
+                 limit_bound: int = 0) -> jnp.ndarray:
     """Keep at most `limit` of the eligible entries, uniformly at random.
 
     Equivalent to np.random.choice without replacement of the surplus
     (data.py:544-557) / randperm subsampling (model.py:468-472).
-    `limit` may be a traced scalar.
+    `limit` may be a traced scalar; `limit_bound` is its static upper
+    bound — when given, selection uses top_k(k=bound) instead of two
+    full argsorts over N (which at 261,888 anchors cost milliseconds
+    per image on the train step's critical path).
     """
     n = eligible.shape[0]
     priority = jax.random.uniform(key, (n,))
     priority = jnp.where(eligible, priority, 2.0)  # ineligible last
+    if limit_bound and limit_bound < n:
+        _, idxs = jax.lax.top_k(-priority, limit_bound)
+        keep = jnp.zeros((n,), jnp.bool_).at[idxs].set(
+            jnp.arange(limit_bound) < limit)
+        return eligible & keep
     order = jnp.argsort(priority)
     rank = jnp.argsort(order)  # rank[i] = position of i in the shuffle
     return eligible & (rank < limit)
@@ -70,11 +79,14 @@ def rpn_targets(config: Config, key, anchors: jnp.ndarray,
     is_crowd = (gt_class_ids < 0) & gt_valid
     is_instance = (gt_class_ids > 0) & gt_valid
 
-    # Crowd exclusion (data.py:496-509).
-    crowd_iou = _masked_iou(anchors, gt_boxes, is_crowd)
+    # One [A, G] IoU matrix, masked two ways (crowd exclusion
+    # data.py:496-509 / instance matching) — computing it twice would
+    # double the largest tensor in the sampler.
+    raw_iou = jnp.nan_to_num(box_ops.box_iou(anchors, gt_boxes), nan=0.0)
+    crowd_iou = jnp.where(is_crowd[None, :], raw_iou, 0.0)
     no_crowd = jnp.max(crowd_iou, axis=1, initial=0.0) < 0.001
 
-    overlaps = _masked_iou(anchors, gt_boxes, is_instance)  # [A, G]
+    overlaps = jnp.where(is_instance[None, :], raw_iou, 0.0)  # [A, G]
     anchor_iou_max = jnp.max(overlaps, axis=1, initial=0.0)
     # Padded columns are 0; force argmax away from them when real gt exist.
     anchor_iou_argmax = jnp.argmax(
@@ -94,16 +106,17 @@ def rpn_targets(config: Config, key, anchors: jnp.ndarray,
 
     # Subsample (data.py:544-557): <=half positive, total budget fixed.
     t = config.RPN_TRAIN_ANCHORS_PER_IMAGE
-    pos = _random_keep(k_pos, match == 1, t // 2)
+    pos = _random_keep(k_pos, match == 1, t // 2, limit_bound=t)
     n_pos = pos.sum()
-    neg = _random_keep(k_neg, match == -1, t - n_pos)
+    neg = _random_keep(k_neg, match == -1, t - n_pos, limit_bound=t)
     match = jnp.where(pos, 1, jnp.where(neg, -1, 0))
 
     # Delta targets for positives, packed in ascending anchor index order
-    # (the reference's np.where iteration order, data.py:561-589).
+    # (the reference's np.where iteration order, data.py:561-589);
+    # top_k(-key) = first t of argsort(key), without the full-A sort.
     idx = jnp.arange(a)
     pos_rank_key = jnp.where(pos, idx, a + idx)
-    packed = jnp.argsort(pos_rank_key)[:t]  # first n_pos are positives
+    _, packed = jax.lax.top_k(-pos_rank_key, t)
     packed_valid = pos[packed]
     tgt_gt = gt_boxes[anchor_iou_argmax[packed]]
     deltas = box_ops.box_deltas(anchors[packed], tgt_gt)
