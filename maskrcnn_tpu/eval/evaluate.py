@@ -70,9 +70,10 @@ def evaluate_coco(detector, dataset, coco, eval_type: str = "bbox",
             results.extend(build_coco_results(
                 dataset, image_id, class_ids, scores,
                 boxes.astype(np.int32), np.asarray(masks, np.uint8)))
-        if start % (batch_size * 4) == 0:
-            print(f"Evaluating {eval_type} {start + len(chunk)}"
-                  f"/{len(image_ids)} ...")
+        from maskrcnn_tpu.utils.progress import progress
+        progress(start + len(chunk), len(image_ids),
+                 prefix=f"Evaluating {eval_type}",
+                 suffix=f"{start + len(chunk)}/{len(image_ids)}")
 
     coco_results = coco.loadRes(results)
     coco_eval = COCOeval(coco, coco_results, eval_type)
