@@ -55,6 +55,12 @@ def main():
                         help="Images to use for evaluation (default=500)")
     parser.add_argument("--devices", required=False, default=None, type=int,
                         help="Data-parallel device count (default: all)")
+    parser.add_argument("--steps-per-epoch", required=False, default=None,
+                        type=int, help="Override STEPS_PER_EPOCH "
+                        "(smoke runs; default: config value 1000)")
+    parser.add_argument("--epochs", required=False, default=None, type=int,
+                        help="Train a single stage to this epoch instead "
+                        "of the 3-stage schedule")
     args = parser.parse_args()
     print("Command: ", args.command)
     print("Model: ", args.model)
@@ -93,9 +99,17 @@ def main():
         # (reference parses the epoch out of the checkpoint filename,
         # model.py:1045-1093; here it's directory metadata).
         params, resumed = trainer.try_resume(params)
-        trainer.fit_coco_schedule(params, train_iter,
-                                  jax.random.PRNGKey(1),
-                                  val_iter=val_iter)
+        kw = {}
+        if args.steps_per_epoch:
+            kw["steps_per_epoch"] = args.steps_per_epoch
+        if args.epochs:
+            trainer.fit(params, train_iter, config.LEARNING_RATE,
+                        args.epochs, "heads", jax.random.PRNGKey(1),
+                        val_iter=val_iter, **kw)
+        else:
+            trainer.fit_coco_schedule(params, train_iter,
+                                      jax.random.PRNGKey(1),
+                                      val_iter=val_iter, **kw)
     elif args.command == "evaluate":
         detector = Detector(config)
         if os.path.exists(args.model):
