@@ -46,7 +46,7 @@ def make_loop(model, iters: int):
             imgs = images + i.astype(jnp.uint8)  # defeat loop hoisting
             out = predict_step(model, params, imgs, windows)
             return (acc + out["scores"].sum()
-                    + out["masks"].sum(dtype=jnp.float32) * 1e-6)
+                    + out["masks_packed"].sum(dtype=jnp.float32) * 1e-6)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

@@ -72,8 +72,14 @@ def main():
     if args.command == "train":
         config = CocoConfig(NUM_DEVICES=n_dev)
     else:
-        # batch-sharded eval over the dp mesh (Detector handles it)
-        config = CocoInferenceConfig(NUM_DEVICES=n_dev)
+        # batch-sharded eval over the dp mesh (Detector handles it).
+        # Masks decode on the host PIL path here: it is the
+        # reference-parity decode (data.py:265-284), and segm AP on real
+        # weights has not been validated against the (faster,
+        # approximately-equal) device decode — serving keeps the device
+        # path on.
+        config = CocoInferenceConfig(NUM_DEVICES=n_dev,
+                                     DEVICE_MASK_DECODE=False)
     config.display()
 
     if args.command == "train":
@@ -89,6 +95,10 @@ def main():
         # per-host shard: each process loads 1/process_count of every
         # global batch; shard_batch assembles the global array
         nproc, pid = jax.process_count(), jax.process_index()
+        assert config.BATCH_SIZE % nproc == 0, (
+            f"global batch {config.BATCH_SIZE} must divide evenly over "
+            f"{nproc} processes — per-host shards would otherwise sum "
+            "to less than the global batch")
         train_iter = BatchLoader(train_ds, config.BATCH_SIZE // nproc,
                                  shard_index=pid, num_shards=nproc)
         val_iter = BatchLoader(val_ds, config.BATCH_SIZE // nproc,

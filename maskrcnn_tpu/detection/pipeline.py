@@ -206,15 +206,15 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
         det.boxes.reshape(b * d, 4), h, w).reshape(b, d, h, w)
     full = full & det.valid[:, :, None, None]
 
-    # bit-pack the full masks for the device->host hop (1 bit/pixel;
-    # unpack with np.unpackbits or ops.bits.unpack_masks)
+    # Only the bit-packed form leaves the step (1 bit/pixel; unpack with
+    # np.unpackbits or ops.bits.unpack_masks). The unpacked [B,D,H,W]
+    # bool canvas would be ~2.4 GB of output HBM at b48/D=50 and exists
+    # only as pack input, so it is not returned.
     from maskrcnn_tpu.ops.bits import pack_masks_device
     return {
         "class_ids": det.class_ids,
         "scores": det.scores,
         "boxes": det.boxes,
         "valid": det.valid,
-        "masks28": sel,
-        "masks": full,
         "masks_packed": pack_masks_device(full),
     }

@@ -62,8 +62,8 @@ def _kernel(rowoff_ref, rowb_ref, colb_ref, fit_ref, iy_ref, ty_ref,
     (clamped patch origin: global row / 8-aligned col), fit (1 = patch
     covers all samples). VMEM blocks [1, 1, NBLK, pool]: iy/ix =
     LEVEL-coord floor cells (in-level, clipped), ty/tx fractional
-    weights, vy/vx in-range flags. iy is also duplicated in SMEM for
-    the wide path's DMA row addressing (iys_ref = arg 4).
+    weights, vy/vx in-range flags; the wide path reads its DMA row
+    origins from the VMEM iy_ref (rowoff + iy).
     table: [R, W, C] in HBM; out block: [1, NBLK, pool, pool, C] in
     [px, py, c] cell order.
     Scratch: bufa [NBUF, PATCH, PATCH_X, C], rowbuf [2, 2, W, C]
@@ -202,6 +202,13 @@ def batched_multilevel_roi_align_pallas(
     widths = np.array([f.shape[2] for f in features], np.float32)
     assert heights.min() >= PATCH and widths.min() >= PATCH_X - 8, \
         "pallas roi_align needs every level >= the patch window"
+    # the fit-path DMA always reads PATCH_X columns from the stacked
+    # table, so the widest level must cover it (narrow levels alone —
+    # all in [PATCH_X-8, PATCH_X) — would make that read run off the
+    # table; unreachable from the FPN pipeline, reachable via this
+    # public API)
+    assert widths.max() >= PATCH_X, \
+        f"pallas roi_align needs max level width >= {PATCH_X}"
 
     b, n = boxes.shape[:2]
     c = features[0].shape[-1]

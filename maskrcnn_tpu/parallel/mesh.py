@@ -115,6 +115,27 @@ def make_parallel_train_step(model: MaskRCNN, optimizer_and_mask,
         donate_argnums=(0,))
 
 
+def make_parallel_eval_losses(model: MaskRCNN, mesh: Mesh,
+                              axis: Optional[str] = None):
+    """jit compute_losses with explicit shardings over the mesh.
+
+    The validation loop must mirror the train path (replicated params,
+    batch sharded on the data axes) — feeding a process-local numpy
+    batch into a plain jit next to mesh-replicated params either errors
+    (multi-host: the batch is not globally addressable) or silently
+    loses the data-parallel speedup. Call with batch `shard_batch`ed.
+    """
+    from maskrcnn_tpu.train.step import compute_losses
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, _data_spec(mesh, axis))
+
+    def run(params, key, batch):
+        return compute_losses(model, params, key, batch)
+
+    return jax.jit(run, in_shardings=(repl, repl, data))
+
+
 def make_parallel_predict(model: MaskRCNN, mesh: Mesh,
                           axis: Optional[str] = None):
     """Batch-sharded inference over the mesh (eval sweeps)."""

@@ -52,8 +52,15 @@ class BatchingDetector:
         self.images_run = 0
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one RGB uint8 image; resolves to the detect() tuple."""
+        """Enqueue one RGB uint8 image; resolves to the detect() tuple.
+
+        After close() the future resolves immediately with a
+        RuntimeError — a caller blocked on .result() must never hang on
+        a request no worker will ever drain."""
         f: Future = Future()
+        if self._stop.is_set():
+            f.set_exception(RuntimeError("BatchingDetector is closed"))
+            return f
         self._q.put((image, f))
         return f
 
@@ -63,6 +70,16 @@ class BatchingDetector:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        # resolve anything still queued (including racy submits that got
+        # in between the worker's last drain and thread exit)
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("BatchingDetector closed "
+                                               "before request ran"))
 
     # ------------------------------------------------------------------
     def _run(self):

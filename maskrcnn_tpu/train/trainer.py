@@ -17,8 +17,7 @@ import jax
 import numpy as np
 
 from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
-from maskrcnn_tpu.train.step import (TrainState, compute_losses,
-                                     make_optimizer)
+from maskrcnn_tpu.train.step import TrainState, make_optimizer
 
 # Layer presets (reference: model.py:1509-1523), translated from the
 # torch module names to our param-tree paths.
@@ -32,11 +31,6 @@ LAYER_REGEX = {
            r"|(box_head/.*)|(mask_head/.*)"),
     "all": r".*",
 }
-
-
-# module-level jit: the valid_epoch loop (reference model.py:1670) must
-# not retrace per step
-_eval_losses = jax.jit(compute_losses, static_argnums=(0,))
 
 
 def param_paths(params) -> List[str]:
@@ -148,11 +142,16 @@ class Trainer:
         # the donated parallel step (a 1-device mesh degenerates to plain
         # jit + donation; XLA inserts no collectives).
         from maskrcnn_tpu.parallel import (make_mesh,
+                                           make_parallel_eval_losses,
                                            make_parallel_train_step,
                                            replicate, shard_batch)
         mesh = make_mesh(cfg.NUM_DEVICES, axis=cfg.MESH_AXIS_DP)
         pstep = make_parallel_train_step(self.model, opt_and_mask,
                                          mesh, axis=cfg.MESH_AXIS_DP)
+        # validation mirrors the train path: params replicated, batch
+        # sharded on the dp axes (reference valid_epoch: model.py:1670)
+        peval = make_parallel_eval_losses(self.model, mesh,
+                                          axis=cfg.MESH_AXIS_DP)
         # replicate copies (may_alias=False), so pstep's donation of the
         # state never consumes the caller's param buffers
         state = replicate(state, mesh)
@@ -189,8 +188,9 @@ class Trainer:
                 for _ in range(validation_steps):
                     batch = next(val_iter)
                     rng, key = jax.random.split(rng)
-                    losses = _eval_losses(self.model, state.params, key,
-                                          batch)
+                    batch = shard_batch(batch, mesh)
+                    losses = peval(state.params, replicate(key, mesh),
+                                   batch)
                     for k, v in losses.as_dict().items():
                         vsums[k] = (vsums.get(k, 0.0)
                                     + float(v) / validation_steps)

@@ -1,0 +1,194 @@
+"""Multi-process (multi-host) data-parallel training, executed for real.
+
+VERDICT r2 missing #3: `shard_batch`'s
+`jax.make_array_from_process_local_data` branch (parallel/mesh.py) and
+the BatchLoader shard_index/num_shards plumbing had never run under
+`jax.process_count() > 1`. This test launches TWO actual processes
+(jax.distributed.initialize on localhost, 4 virtual CPU devices each,
+gloo CPU collectives), feeds per-process BatchLoader shards through
+shard_batch's multi-process branch, runs one full sharded train step,
+and asserts the global metrics equal a single-process 8-device run over
+the identical global batch (SURVEY section 2.3 multi-slice DP).
+
+Run standalone as a child:  python tests/test_multihost.py <pid> <port>
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_PROC = 2
+DEV_PER_PROC = 4
+GLOBAL_BATCH = 8
+
+
+class FakeDataset:
+    """Deterministic per-index samples shaped like CocoDataset.sample."""
+
+    def __init__(self, config, n=GLOBAL_BATCH):
+        self.config = config
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def sample(self, idx, hflip=False):
+        cfg = self.config
+        d = cfg.IMAGE_MAX_DIM
+        g = cfg.MAX_GT_INSTANCES
+        rng = np.random.RandomState(1000 + idx)
+        images = rng.randint(0, 256, (d, d, 3)).astype(np.uint8)
+        cls = np.zeros((g,), np.int32)
+        boxes = np.zeros((g, 4), np.float32)
+        valid = np.zeros((g,), bool)
+        masks = np.zeros((g, d, d), np.uint8)
+        for j in range(2):
+            y1, x1 = rng.uniform(0, d * 0.4, 2)
+            hh, ww = rng.uniform(d * 0.3, d * 0.5, 2)
+            boxes[j] = [y1, x1, min(y1 + hh, d), min(x1 + ww, d)]
+            cls[j] = rng.randint(1, cfg.NUM_CLASSES)
+            valid[j] = True
+            yb = boxes[j].astype(int)
+            masks[j, yb[0]:yb[2], yb[1]:yb[3]] = 1
+        return {"images": images, "gt_class_ids": cls, "gt_boxes": boxes,
+                "gt_masks": masks, "gt_valid": valid}
+
+
+def _one_step(config, batch, mesh_devices=None):
+    """One data-parallel train step; returns the metrics dict."""
+    import jax
+
+    from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+    from maskrcnn_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                       replicate, shard_batch)
+    from maskrcnn_tpu.train.step import TrainState, make_optimizer
+    from maskrcnn_tpu.train.trainer import (LAYER_REGEX, decay_mask,
+                                            trainable_mask)
+
+    model = MaskRCNN(config)
+    params = model.init(jax.random.PRNGKey(0))
+    regex = LAYER_REGEX["all"]
+    tmask = trainable_mask(params, regex)
+    optimizer = make_optimizer(config, config.LEARNING_RATE,
+                               decay_mask(params, regex))
+    opt_and_mask = (optimizer, lambda p, _m=tmask: _m)
+
+    mesh = make_mesh(config.NUM_DEVICES, axis=config.MESH_AXIS_DP)
+    pstep = make_parallel_train_step(model, opt_and_mask, mesh,
+                                     axis=config.MESH_AXIS_DP)
+    state = replicate(TrainState(step=np.int32(0), params=params,
+                                 opt_state=optimizer.init(params)), mesh)
+    sharded = shard_batch(batch, mesh)
+    key = replicate(jax.random.PRNGKey(42), mesh)
+    _, metrics = pstep(state, sharded, key)
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def _child_main(pid: int, port: int):
+    import jax
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=N_PROC, process_id=pid)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/maskrcnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    assert jax.process_count() == N_PROC
+    assert jax.device_count() == N_PROC * DEV_PER_PROC
+
+    from maskrcnn_tpu.config import TinyConfig
+    from maskrcnn_tpu.data.pipeline import BatchLoader
+
+    config = TinyConfig(NUM_DEVICES=N_PROC * DEV_PER_PROC,
+                        IMAGES_PER_DEVICE=1)
+    assert config.BATCH_SIZE == GLOBAL_BATCH
+
+    # the real per-host data path: each process loads its stride of the
+    # dataset; shuffle off + 1 worker => deterministic row order
+    ds = FakeDataset(config)
+    loader = BatchLoader(ds, GLOBAL_BATCH // N_PROC, shuffle=False,
+                         num_workers=1, shard_index=pid,
+                         num_shards=N_PROC, hflip=False)
+    batch = next(loader)
+    loader.close()
+    assert batch["images"].shape[0] == GLOBAL_BATCH // N_PROC
+
+    metrics = _one_step(config, batch)
+    if pid == 0:
+        with open(f"/tmp/multihost_metrics_{port}.json", "w") as f:
+            json.dump(metrics, f)
+    print(f"child {pid}: {metrics}")
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process():
+    port = _free_port()
+    out = f"/tmp/multihost_metrics_{port}.json"
+    if os.path.exists(out):
+        os.remove(out)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize registers the TPU plugin whenever
+    # PALLAS_AXON_POOL_IPS is set — drop the trigger vars (see
+    # __graft_entry__.dryrun_multichip)
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                "AXON_LOOPBACK_RELAY"):
+        env.pop(var, None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append(f"--xla_force_host_platform_device_count={DEV_PER_PROC}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), str(pid), str(port)],
+        env=env, cwd=REPO) for pid in range(N_PROC)]
+    try:
+        for p in procs:
+            assert p.wait(timeout=1200) == 0, "multi-host child failed"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    with open(out) as f:
+        multi = json.load(f)
+
+    # single-process oracle over the identical global batch: device order
+    # is process-major, so global rows = proc0's stride then proc1's
+    from maskrcnn_tpu.config import TinyConfig
+    from maskrcnn_tpu.ops.bits import pack_masks
+
+    config = TinyConfig(NUM_DEVICES=N_PROC * DEV_PER_PROC,
+                        IMAGES_PER_DEVICE=1)
+    ds = FakeDataset(config)
+    order = [i for pid in range(N_PROC)
+             for i in range(pid, GLOBAL_BATCH, N_PROC)]
+    samples = [ds.sample(i) for i in order]
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    batch["gt_masks_packed"] = pack_masks(batch.pop("gt_masks"))
+    single = _one_step(config, batch)
+
+    assert set(multi) == set(single)
+    for k in single:
+        np.testing.assert_allclose(
+            multi[k], single[k], rtol=2e-4, atol=1e-5,
+            err_msg=f"metric {k}: 2-process {multi[k]} vs "
+                    f"single-process {single[k]}")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+if __name__ == "__main__":
+    _child_main(int(sys.argv[1]), int(sys.argv[2]))
