@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Serving latency: BatchingDetector p50/p99 under concurrent clients.
+
+The reference has no serving story at all; this measures the request
+path a production deployment sees — host preprocess, micro-batched
+device pipeline, device original-coordinate mask decode, host unpack —
+for 1 and 8 concurrent closed-loop clients.
+
+    python benchmarks/serving_bench.py [requests_per_client]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_clients(bd, n_clients: int, n_requests: int, image):
+    lat = []
+    lock = threading.Lock()
+
+    def client():
+        for _ in range(n_requests):
+            t0 = time.perf_counter()
+            bd.detect(image)
+            dt = time.perf_counter() - t0
+            with lock:
+                lat.append(dt)
+
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat = np.asarray(sorted(lat))
+    return {
+        "clients": n_clients,
+        "p50_ms": 1e3 * float(np.percentile(lat, 50)),
+        "p99_ms": 1e3 * float(np.percentile(lat, 99)),
+        "throughput_rps": len(lat) / wall,
+    }
+
+
+def main(n_requests: int = 32):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/maskrcnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from maskrcnn_tpu.api import Detector
+    from maskrcnn_tpu.config import CocoInferenceConfig
+    from maskrcnn_tpu.serving import BatchingDetector
+
+    det = Detector(CocoInferenceConfig())
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)
+
+    # warm every bucketed batch shape the clients can trigger
+    bd = BatchingDetector(det, max_batch=8, max_delay_ms=5.0)
+    for b in (1, 2, 4, 8):
+        det.detect_batch([image] * b)
+
+    for n_clients in (1, 8):
+        stats = run_clients(bd, n_clients, n_requests, image)
+        print({k: round(v, 2) if isinstance(v, float) else v
+               for k, v in stats.items()}, flush=True)
+    bd.close()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)

@@ -95,10 +95,12 @@ class Config:
     MATMUL_PRECISION: str = "default"
     # NMS backend: "xla" (portable lax loop) or "pallas" (TPU kernel).
     NMS_IMPL: str = "xla"
-    # Inference RoIAlign backend: "xla" (patch-gather) or "pallas"
+    # Inference RoIAlign backend: "xla" (patch-gather), "pallas"
     # (per-box DMA kernel, ops/roi_align_pallas.py; falls back to xla
-    # when pyramid levels are smaller than its patch window).
-    ROI_IMPL: str = "xla"
+    # when pyramid levels are smaller than its patch window), or "auto"
+    # (pallas at batch >= 8 where its per-box issue overhead amortizes,
+    # xla below — see BENCHMARKS.md).
+    ROI_IMPL: str = "auto"
     # Inference-only: frozen BN folded into conv kernels at weight-load
     # (checkpoint.fold.fold_bn_params); the runtime affine is skipped.
     # Must never be used for training — it changes gradient geometry.
@@ -106,6 +108,10 @@ class Config:
     # Space-to-depth stem: 7x7/2 conv on 3 channels -> identical 4x4/1
     # conv on a (2,2)-blocked 12-channel input (better MXU occupancy).
     S2D_STEM: bool = False
+    # Momentum-buffer dtype for the SGD optimizer ("bfloat16" halves
+    # optimizer-state HBM — an HBM-headroom knob, not a speed knob;
+    # see train/step.py make_optimizer).
+    OPT_MOMENTUM_DTYPE: str = "float32"
     # Produce detection masks in original-image coordinates on device
     # (ops/mask_paste.masks_to_original), replacing the host PIL
     # decode_masks loop (~0.7 s/img single-threaded). Images larger than

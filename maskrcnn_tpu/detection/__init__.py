@@ -1,6 +1,8 @@
 """Jitted detection pipelines (proposal layer, refinement, full predict)."""
 
 from maskrcnn_tpu.detection.pipeline import (Detections, mrn_refine,
-                                             predict_step, rpn_refine)
+                                             predict_step, rpn_refine,
+                                             rpn_refine_scores)
 
-__all__ = ["Detections", "mrn_refine", "predict_step", "rpn_refine"]
+__all__ = ["Detections", "mrn_refine", "predict_step", "rpn_refine",
+           "rpn_refine_scores"]

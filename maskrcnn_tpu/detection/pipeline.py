@@ -48,13 +48,23 @@ def rpn_refine(config: Config, anchors: jnp.ndarray,
     Returns (proposals [R, 4] normalized, valid [R] bool),
     R = RPN_NMS_MAX_ROIS_NUM.
     """
-    scores = rpn_probs[:, 1]
-    deltas = rpn_bbox * jnp.asarray(config.RPN_BBOX_STD_DEV, jnp.float32)
+    return rpn_refine_scores(config, anchors, rpn_probs[:, 1], rpn_bbox)
 
+
+def rpn_refine_scores(config: Config, anchors: jnp.ndarray,
+                      scores: jnp.ndarray, rpn_bbox: jnp.ndarray):
+    """rpn_refine core on fg scores [A] (MaskRCNN.rpn_scores output).
+
+    rpn_bbox may be bf16: only the k top-k survivors are gathered and
+    cast to f32 — the conv output is bf16 either way, so deferring the
+    cast past the gather is exact and skips writing [A, 4] f32.
+    """
     # Pre-NMS top-k (model.py:1345-1350): k = min(500, A).
     k = config.PRE_NMS_LIMIT
     top_scores, order = jax.lax.top_k(scores, k)
-    boxes = box_ops.refine_boxes(anchors[order], deltas[order])
+    deltas = (rpn_bbox[order].astype(jnp.float32)
+              * jnp.asarray(config.RPN_BBOX_STD_DEV, jnp.float32))
+    boxes = box_ops.refine_boxes(anchors[order], deltas)
 
     h, w = config.IMAGE_SHAPE[:2]
     boxes = box_ops.clip_boxes(boxes, (0.0, 0.0, float(h), float(w)))
@@ -136,9 +146,17 @@ def _pool_rois(feature_maps, boxes, pool_size, image_shape,
 
     impl="pallas" uses the DMA kernel (ops/roi_align_pallas.py) when
     every pyramid level is large enough for its patch window (static
-    check); inference-only — the kernel has no vjp."""
+    check); inference-only — the kernel has no vjp. impl="auto" routes
+    by batch size: the kernel's per-box issue overhead amortizes at
+    batch >= 8 (+3% pipeline at b48) but regresses batch-1 latency
+    (22 vs 14 ms, BENCHMARKS.md), so small batches take the XLA
+    patch-gather."""
     mrn_feats = [f for f in feature_maps[:4]]  # P2..P5 only (model.py:1153)
 
+    if impl == "auto":
+        # kernel is TPU-only (mosaic); CPU meshes take the XLA path
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        impl = "pallas" if (on_tpu and boxes.shape[0] >= 8) else "xla"
     if impl == "pallas":
         from maskrcnn_tpu.ops.roi_align_pallas import (
             PATCH, PATCH_X, batched_multilevel_roi_align_pallas)
@@ -167,11 +185,14 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
 
     x = normalize_image(images, config.MEAN_PIXEL)
     feats = model.backbone(params, x)
-    _, rpn_probs, rpn_bbox = model.rpn_detect(params, feats)
+    # fused inference RPN (one 18-chan 1x1, no [B, A, 2] probs, bf16
+    # deltas until the top-k gather) — equals rpn_detect + probs[:, 1]
+    rpn_fg, rpn_bbox = model.rpn_scores(params, feats)
 
     anchors = jnp.asarray(model.anchors())
     proposals, pvalid = jax.vmap(
-        lambda p, b: rpn_refine(config, anchors, p, b))(rpn_probs, rpn_bbox)
+        lambda s, b: rpn_refine_scores(config, anchors, s, b))(
+            rpn_fg, rpn_bbox)
 
     b, r = proposals.shape[:2]
     pooled = _pool_rois(feats, proposals, config.POOL_SIZE,

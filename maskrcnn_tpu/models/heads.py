@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from maskrcnn_tpu.models.common import Conv, ConvT, Dense
+from maskrcnn_tpu.models.common import Conv, DeconvK2S2, Dense
 
 from maskrcnn_tpu.models.resnet import FrozenBatchNorm
 
@@ -79,9 +79,9 @@ class MaskHead(nn.Module):
             x = FrozenBatchNorm(256, dtype=self.dtype, name=f"bn{i}",
                                 folded=self.fold_bn)(x)
             x = nn.relu(x)
-        # Deconv 2x2 stride 2 (model.py:864): 14 -> 28.
-        x = ConvT(256, (2, 2), strides=(2, 2),
-                             dtype=self.dtype, name="deconv")(x)
+        # Deconv 2x2 stride 2 (model.py:864): 14 -> 28, as matmul +
+        # depth-to-space (exact; see common.DeconvK2S2).
+        x = DeconvK2S2(256, dtype=self.dtype, name="deconv")(x)
         x = nn.relu(x)
         x = Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     name="conv5")(x).astype(jnp.float32)

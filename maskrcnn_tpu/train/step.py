@@ -118,11 +118,20 @@ def make_optimizer(config, learning_rate: float, decay_mask) -> optax.GradientTr
     Order matches torch exactly: clip grads (model.py:1633), add wd*param
     for non-BN params (SGD weight_decay semantics, model.py:1550-1557),
     momentum, lr.
+
+    OPT_MOMENTUM_DTYPE="bfloat16" stores the momentum buffers in bf16
+    (halves optimizer-state HBM: ~126 MB for the 63M-param model).
+    Throughput-wise the optimizer moves ~0.5 GB/step of state — <1 ms
+    of a ~670 ms b16 step (see BENCHMARKS.md training section) — so the
+    default stays float32, which avoids momentum rounding drift; the
+    knob exists for HBM headroom, not speed.
     """
+    acc_dtype = getattr(config, "OPT_MOMENTUM_DTYPE", "float32")
     return optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.add_decayed_weights(config.WEIGHT_DECAY, mask=decay_mask),
-        optax.trace(decay=config.LEARNING_MOMENTUM, nesterov=False),
+        optax.trace(decay=config.LEARNING_MOMENTUM, nesterov=False,
+                    accumulator_dtype=jnp.dtype(acc_dtype)),
         optax.scale(-learning_rate),
     )
 

@@ -118,6 +118,7 @@ def test_device_mask_decode_matches_host(coco_dir):
         assert (ma != mb).mean() < 0.02
 
 
+@pytest.mark.slow
 def test_sharded_detector_matches_single_device(coco_dir):
     """Detector with NUM_DEVICES=8 shards detect_batch over the CPU mesh
     and must reproduce single-device results (incl. the padded-batch

@@ -42,6 +42,52 @@ def test_rpn_anchor_alignment(model_and_params):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_deconv_matmul_equals_convtranspose(rng):
+    """DeconvK2S2 (matmul + depth-to-space) must be bit-equal to flax
+    ConvTranspose(k=2, s=2, transpose_kernel=True) with shared params,
+    forward AND backward."""
+    import flax.linen as nn
+    import jax
+
+    from maskrcnn_tpu.models.common import DeconvK2S2
+
+    x = jnp.asarray(rng.randn(3, 14, 14, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 2, 6, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(6).astype(np.float32))
+    variables = {"params": {"kernel": k, "bias": b}}
+
+    ref = nn.ConvTranspose(6, (2, 2), strides=(2, 2),
+                           transpose_kernel=True)
+    want = ref.apply(variables, x)
+    got = DeconvK2S2(6).apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    gref = jax.grad(lambda v: ref.apply(v, x).sum())(variables)
+    gnew = jax.grad(lambda v: DeconvK2S2(6).apply(v, x).sum())(variables)
+    for key in ("kernel", "bias"):
+        np.testing.assert_allclose(np.asarray(gnew["params"][key]),
+                                   np.asarray(gref["params"][key]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_rpn_scores_equals_rpn_detect(model_and_params):
+    """The fused inference RPN (one 18-chan 1x1, sigmoid(l1-l0) scores)
+    must equal rpn_detect consumed as (probs[..., 1], bbox)."""
+    model, params = model_and_params
+    d = model.config.IMAGE_MAX_DIM
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.randn(2, d, d, 3).astype(np.float32))
+    feats = model.backbone(params, images)
+    _, probs, bbox = model.rpn_detect(params, feats)
+    scores, deltas = model.rpn_scores(params, feats)
+    assert scores.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(probs[..., 1]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(deltas, dtype=np.float32),
+                               np.asarray(bbox), rtol=1e-5, atol=1e-6)
+
+
 def test_head_shapes(model_and_params):
     model, params = model_and_params
     k = model.config.NUM_CLASSES

@@ -91,6 +91,7 @@ def test_freezing_heads_only(setup, rng):
     assert len(moved) > 50
 
 
+@pytest.mark.slow
 def test_loss_decreases(setup, rng):
     cfg, model, params = setup
     batch = make_batch(cfg, rng, 1)
@@ -109,6 +110,7 @@ def test_loss_decreases(setup, rng):
     assert last < first, (first, last)
 
 
+@pytest.mark.slow
 def test_parallel_step_matches_single_device(setup, rng):
     cfg, model, params = setup
     b = 8

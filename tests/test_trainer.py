@@ -1,6 +1,7 @@
 """Trainer orchestration smoke test: epoch loop, logging, checkpoints."""
 
 import jax
+import pytest
 import numpy as np
 
 from maskrcnn_tpu.config import TinyConfig
@@ -9,6 +10,7 @@ from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
 from maskrcnn_tpu.train.trainer import Trainer
 
 
+@pytest.mark.slow
 def test_trainer_fit_epochs(tmp_path):
     cfg = TinyConfig()
     model = MaskRCNN(cfg)
@@ -40,6 +42,7 @@ def test_trainer_fit_epochs(tmp_path):
     assert moved
 
 
+@pytest.mark.slow
 def test_trainer_dp_matches_single_device(tmp_path):
     """Trainer.fit over the 8-virtual-device CPU mesh must produce the
     same params as single-device on the same global batch + RNG — the
@@ -63,6 +66,7 @@ def test_trainer_dp_matches_single_device(tmp_path):
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_resume(tmp_path):
     """Kill/restart continues at the right epoch (replaces the
     reference's checkpoint-filename regex resume, model.py:1045-1093)."""
