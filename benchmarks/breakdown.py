@@ -35,8 +35,10 @@ def main(batch: int = 8, iters: int = 8):
 
     from maskrcnn_tpu.config import CocoInferenceConfig
     from maskrcnn_tpu.detection.pipeline import (_pool_rois, mrn_refine,
-                                                 rpn_refine)
+                                                 predict_step,
+                                                 rpn_refine_scores)
     from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+    from maskrcnn_tpu.ops.bits import pack_masks_device
     from maskrcnn_tpu.ops.image import normalize_image
     from maskrcnn_tpu.ops.mask_paste import paste_masks_chunked
 
@@ -60,12 +62,13 @@ def main(batch: int = 8, iters: int = 8):
             feats = model.backbone(params, x)
             if upto == "backbone":
                 return sum(f.sum(dtype=jnp.float32) for f in feats)
-            _, rpn_probs, rpn_bbox = model.rpn_detect(params, feats)
+            rpn_fg, rpn_bbox = model.rpn_scores(params, feats)
             if upto == "rpn":
-                return rpn_probs.sum() + rpn_bbox.sum()
+                return (rpn_fg.sum(dtype=jnp.float32)
+                        + rpn_bbox.sum(dtype=jnp.float32))
             proposals, pvalid = jax.vmap(
-                lambda p, b: rpn_refine(config, anchors, p, b))(
-                    rpn_probs, rpn_bbox)
+                lambda p, b: rpn_refine_scores(config, anchors, p, b))(
+                    rpn_fg, rpn_bbox)
             if upto == "proposal_nms":
                 return proposals.sum() + pvalid.sum(dtype=jnp.float32)
             b, r = proposals.shape[:2]
@@ -97,7 +100,11 @@ def main(batch: int = 8, iters: int = 8):
                 axis=-1)[..., 0]
             full = paste_masks_chunked(
                 sel.reshape(-1, 28, 28), det.boxes.reshape(-1, 4), h, w)
-            return full.sum(dtype=jnp.float32)
+            if upto == "paste":
+                return full.sum(dtype=jnp.float32)
+            # exactly what predict_step returns: valid-masked + bit-packed
+            full = full.reshape(batch, dd, h, w) & det.valid[:, :, None, None]
+            return pack_masks_device(full).sum(dtype=jnp.float32)
 
         @jax.jit
         def loop(imgs):
@@ -108,7 +115,7 @@ def main(batch: int = 8, iters: int = 8):
         return loop
 
     stages = ["backbone", "rpn", "proposal_nms", "box_head",
-              "mrn_refine", "mask_head", "paste"]
+              "mrn_refine", "mask_head", "paste", "pack"]
     prev = 0.0
     print(f"batch={batch} iters={iters}")
     for s in stages:
@@ -122,6 +129,26 @@ def main(batch: int = 8, iters: int = 8):
         print(f"{s:14s} cumulative {ms_img:8.2f} ms/img   "
               f"stage {delta:8.2f} ms/img", flush=True)
         prev = ms_img
+
+    # ground truth: the real predict_step (what bench.py times), same
+    # checksum shape — any delta vs the "pack" prefix is graph-assembly
+    # difference, not a stage.
+    @jax.jit
+    def real_loop(imgs):
+        def body(i, acc):
+            out = predict_step(model, params, imgs + i.astype(jnp.uint8),
+                               windows)
+            return (acc + out["scores"].sum()
+                    + out["masks_packed"].sum(dtype=jnp.float32) * 1e-6)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(real_loop(images))
+    t0 = time.perf_counter()
+    float(real_loop(images))
+    dt = time.perf_counter() - t0
+    ms_img = 1e3 * dt / (batch * iters)
+    print(f"{'predict_step':14s} cumulative {ms_img:8.2f} ms/img   "
+          f"(vs pack prefix {ms_img - prev:+.2f})", flush=True)
 
 
 if __name__ == "__main__":

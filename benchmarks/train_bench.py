@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Training throughput benchmark: train-step images/sec/chip at 1024px.
 
-    python benchmarks/train_bench.py [batch] [remat:0|1]
+    python benchmarks/train_bench.py [batch] [remat:0|1] [mom_dtype]
 
 The reference trains 1 image/step on an 8GB GPU (config.py:183-185) with
 host-side target sampling; this measures the full jitted step — on-device
@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 
-def main(batch: int = 4, remat: bool = True):
+def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,7 @@ def main(batch: int = 4, remat: bool = True):
     from maskrcnn_tpu.train.trainer import (LAYER_REGEX, decay_mask,
                                             trainable_mask)
 
-    config = CocoConfig(REMAT_BACKBONE=remat)
+    config = CocoConfig(REMAT_BACKBONE=remat, OPT_MOMENTUM_DTYPE=mom_dtype)
     model = MaskRCNN(config)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -83,11 +83,12 @@ def main(batch: int = 4, remat: bool = True):
     state, loss = loop(state, batch_dev, key)
     float(loss)
     dt = (time.time() - t0) / iters
-    print(f"batch {batch} remat={remat}: {dt:.3f}s/step -> "
+    print(f"batch {batch} remat={remat} mom={mom_dtype}: {dt:.3f}s/step -> "
           f"{batch / dt:.2f} img/s ({1e3 * dt / batch:.1f} ms/img)")
 
 
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     r = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
-    main(b, r)
+    m = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    main(b, r, m)

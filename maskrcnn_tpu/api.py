@@ -23,17 +23,17 @@ from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _device_decode_masks(masks_packed, windows, ohs, ows, out_dim,
-                         canvas_dim):
+                         canvas_w):
     """Canvas masks -> original-coordinate masks, fully on device.
 
-    masks_packed: [B, N, D, D/8] uint8 (predict_step output);
+    masks_packed: [B, N, CH, CW/8] uint8 (predict_step output);
     windows: [B, 4]; ohs/ows: [B] int32 original sizes (<= out_dim).
     Returns [B, N, out_dim, out_dim/8] packed bits.
     """
     from maskrcnn_tpu.ops.bits import pack_masks_device, unpack_masks
     from maskrcnn_tpu.ops.mask_paste import masks_to_original
 
-    masks = unpack_masks(masks_packed, canvas_dim).astype(bool)
+    masks = unpack_masks(masks_packed, canvas_w).astype(bool)
 
     def per_image(m, w, oh, ow):
         return masks_to_original(m, w, oh, ow, out_dim)
@@ -108,7 +108,8 @@ class Detector:
         canvases, windows, scales = [], [], []
         for img in images:
             canvas, window, scale = resize_image(
-                img, cfg.IMAGE_MIN_DIM, cfg.IMAGE_MAX_DIM)
+                img, cfg.IMAGE_MIN_DIM, cfg.IMAGE_MAX_DIM,
+                canvas_shape=cfg.IMAGE_SHAPE[:2])
             canvases.append(canvas)
             windows.append(window)
             scales.append(scale)
@@ -121,7 +122,7 @@ class Detector:
         else:
             out = self._run_predict(batch, win)
 
-        d = cfg.IMAGE_MAX_DIM
+        cw = cfg.IMAGE_SHAPE[1]
         out_dim = cfg.ORIG_MASK_CANVAS
         use_device = (cfg.DEVICE_MASK_DECODE and all(
             max(img.shape[:2]) <= out_dim for img in images))
@@ -133,7 +134,7 @@ class Detector:
                                np.int32)
             orig_packed = _device_decode_masks(
                 out["masks_packed"], win, sizes[:, 0], sizes[:, 1],
-                out_dim, d)
+                out_dim, cw)
             fetched = jax.device_get({k: out[k] for k in (
                 "class_ids", "scores", "boxes", "valid")})
             fetched["masks_packed"] = jax.device_get(orig_packed)
@@ -161,7 +162,7 @@ class Detector:
                     packed[i][valid], axis=-1)[:, :oh, :ow]
             else:
                 mf = np.unpackbits(
-                    packed[i][valid], axis=-1)[..., :d].astype(bool)
+                    packed[i][valid], axis=-1)[..., :cw].astype(bool)
                 masks = decode_masks(mf, scales[i], windows[i],
                                      img.shape[0], img.shape[1])
             return (class_ids, scores, boxes, masks)

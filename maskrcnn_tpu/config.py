@@ -118,6 +118,14 @@ class Config:
     # ORIG_MASK_CANVAS on a side fall back to the host path.
     DEVICE_MASK_DECODE: bool = True
     ORIG_MASK_CANVAS: int = 640  # >= the largest COCO val image side
+    # Optional rectangular canvas (H, W), both divisible by 64. The
+    # reference protocol is the square (MAX_DIM, MAX_DIM) canvas
+    # (config.py:86-89, data.py:191-223) and stays the default; a
+    # landscape/portrait canvas skips convolving the ~25-40% of the
+    # square canvas that COCO-shaped images pad away — a serving-time
+    # throughput knob with no reference equivalent (the reference
+    # asserts a square multiple-of-64 shape at model.py:978-983).
+    IMAGE_CANVAS: Tuple[int, int] = None  # type: ignore[assignment]
 
     # ---- computed attributes (reference: config.py:145-164) ----
     @property
@@ -126,6 +134,14 @@ class Config:
 
     @property
     def IMAGE_SHAPE(self) -> Tuple[int, int, int]:
+        if self.IMAGE_CANVAS is not None:
+            ch, cw = self.IMAGE_CANVAS
+            if ch % 64 or cw % 64:
+                # same constraint the reference asserts (model.py:978-983)
+                raise ValueError(
+                    f"IMAGE_CANVAS {self.IMAGE_CANVAS} must be "
+                    "divisible by 64")
+            return (ch, cw, 3)
         return (self.IMAGE_MAX_DIM, self.IMAGE_MAX_DIM, 3)
 
     @property

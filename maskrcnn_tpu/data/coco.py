@@ -205,17 +205,19 @@ class CocoDataset:
         """One fixed-shape training example (canvas coords, padded gt)."""
         cfg = self.config
         image, label_ids, boxes, masks = self.load(index, hflip=hflip)
+        ch, cw = cfg.IMAGE_SHAPE[:2]
         canvas, window, scale = resize_image(image, cfg.IMAGE_MIN_DIM,
-                                             cfg.IMAGE_MAX_DIM)
+                                             cfg.IMAGE_MAX_DIM,
+                                             canvas_shape=(ch, cw))
         boxes = encode_boxes(boxes, scale, window)
-        masks = encode_masks(masks, scale, window, cfg.IMAGE_MAX_DIM)
+        masks = encode_masks(masks, scale, window, cfg.IMAGE_MAX_DIM,
+                             canvas_shape=(ch, cw))
 
         g = cfg.MAX_GT_INSTANCES
         n = len(label_ids)
         out_cls = np.zeros((g,), np.int32)
         out_boxes = np.zeros((g, 4), np.float32)
-        out_masks = np.zeros((g, cfg.IMAGE_MAX_DIM, cfg.IMAGE_MAX_DIM),
-                             np.uint8)
+        out_masks = np.zeros((g, ch, cw), np.uint8)
         out_valid = np.zeros((g,), bool)
         out_cls[:n] = label_ids
         out_boxes[:n] = boxes

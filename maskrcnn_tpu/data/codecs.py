@@ -21,25 +21,33 @@ import numpy as np
 from PIL import Image
 
 
-def resize_image(image: np.ndarray, min_dim: int, max_dim: int
+def resize_image(image: np.ndarray, min_dim: int, max_dim: int,
+                 canvas_shape: Tuple[int, int] = None
                  ) -> Tuple[np.ndarray, Tuple[int, int, int, int], float]:
-    """uint8 HxWx3 -> (canvas [max_dim, max_dim, 3] uint8, window, scale).
+    """uint8 HxWx3 -> (canvas [CH, CW, 3] uint8, window, scale).
 
+    Default square canvas (CH = CW = max_dim) reproduces the reference
+    protocol (data.py:191-223): upscale so min side >= min_dim, cap the
+    long side at max_dim, center-pad. With `canvas_shape=(CH, CW)`
+    (Config.IMAGE_CANVAS) the cap applies per axis so the image fits the
+    rectangle — smaller canvases convolve fewer padded-zero pixels.
     window = (y1, x1, y2, x2) of the real image inside the canvas.
     """
     h, w = image.shape[:2]
+    ch, cw = canvas_shape if canvas_shape is not None else (max_dim,
+                                                           max_dim)
     scale = max(1.0, min_dim / min(h, w))
-    if round(max(h, w) * scale) > max_dim:
-        scale = max_dim / max(h, w)
+    if round(h * scale) > ch or round(w * scale) > cw:
+        scale = min(ch / h, cw / w)
     if scale != 1.0:
         nh, nw = round(h * scale), round(w * scale)
         img = Image.fromarray(image).resize((nw, nh), Image.BILINEAR)
         image = np.asarray(img)
     else:
         nh, nw = h, w
-    top = (max_dim - nh) // 2
-    left = (max_dim - nw) // 2
-    canvas = np.zeros((max_dim, max_dim, 3), np.uint8)
+    top = (ch - nh) // 2
+    left = (cw - nw) // 2
+    canvas = np.zeros((ch, cw, 3), np.uint8)
     canvas[top:top + nh, left:left + nw] = image
     return canvas, (top, left, top + nh, left + nw), scale
 
@@ -69,11 +77,14 @@ def decode_boxes(boxes: np.ndarray, scale: float, window) -> np.ndarray:
 
 
 def encode_masks(masks: np.ndarray, scale: float, window,
-                 max_dim: int) -> np.ndarray:
-    """Per-instance masks [N, H, W] {0,1} -> canvas masks [N, D, D]
-    (data.py:246-262)."""
+                 max_dim: int,
+                 canvas_shape: Tuple[int, int] = None) -> np.ndarray:
+    """Per-instance masks [N, H, W] {0,1} -> canvas masks [N, CH, CW]
+    (data.py:246-262; square CH = CW = max_dim by default)."""
     n = masks.shape[0]
-    out = np.zeros((n, max_dim, max_dim), np.uint8)
+    ch, cw = canvas_shape if canvas_shape is not None else (max_dim,
+                                                           max_dim)
+    out = np.zeros((n, ch, cw), np.uint8)
     top, left = window[0], window[1]
     for i in range(n):
         img = Image.fromarray(masks[i].astype(np.uint8) * 255, "L")
@@ -81,8 +92,8 @@ def encode_masks(masks: np.ndarray, scale: float, window,
         nw = round(img.width * scale)
         img = img.resize((nw, nh), Image.BILINEAR)
         arr = np.asarray(img) > 127
-        h = min(nh, max_dim - top)
-        w = min(nw, max_dim - left)
+        h = min(nh, ch - top)
+        w = min(nw, cw - left)
         out[i, top:top + h, left:left + w] = arr[:h, :w]
     return out
 

@@ -114,21 +114,21 @@ class SyntheticLoader:
     def _make(self) -> Dict[str, np.ndarray]:
         cfg = self.config
         b = self.batch_size
-        d = cfg.IMAGE_MAX_DIM
+        ch, cw = cfg.IMAGE_SHAPE[:2]
         g = cfg.MAX_GT_INSTANCES
         rng = self._rng
-        images = rng.randint(0, 256, (b, d, d, 3), np.uint8)
+        images = rng.randint(0, 256, (b, ch, cw, 3), np.uint8)
         cls = np.zeros((b, g), np.int32)
         boxes = np.zeros((b, g, 4), np.float32)
         valid = np.zeros((b, g), bool)
-        masks = np.zeros((b, g, d, d), np.uint8)
+        masks = np.zeros((b, g, ch, cw), np.uint8)
         for i in range(b):
             for j in range(3):
-                y1 = rng.uniform(0, d * 0.5)
-                x1 = rng.uniform(0, d * 0.5)
-                h = rng.uniform(d * 0.2, d * 0.45)
-                w = rng.uniform(d * 0.2, d * 0.45)
-                boxes[i, j] = [y1, x1, min(y1 + h, d), min(x1 + w, d)]
+                y1 = rng.uniform(0, ch * 0.5)
+                x1 = rng.uniform(0, cw * 0.5)
+                h = rng.uniform(ch * 0.2, ch * 0.45)
+                w = rng.uniform(cw * 0.2, cw * 0.45)
+                boxes[i, j] = [y1, x1, min(y1 + h, ch), min(x1 + w, cw)]
                 cls[i, j] = rng.randint(1, cfg.NUM_CLASSES)
                 valid[i, j] = True
                 yy, xx = boxes[i, j].astype(int)[:2], boxes[i, j].astype(

@@ -206,9 +206,11 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
         config, p, v, pr, dl, win))(
             proposals, pvalid, mrn_probs, mrn_deltas, windows)
 
-    # Mask head on final boxes normalized by image height
-    # (model.py:1188 divides by h only — square canvas).
-    mask_rois = det.boxes / float(h)
+    # Mask head on final boxes normalized per axis. The reference
+    # divides by h only (model.py:1188) under its square-canvas
+    # assumption — identical to [h, w, h, w] when h == w, and the
+    # per-axis form stays correct for rectangular IMAGE_CANVAS.
+    mask_rois = det.boxes / jnp.asarray([h, w, h, w], jnp.float32)
     d = mask_rois.shape[1]
     pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
                           config.IMAGE_SHAPE, impl=config.ROI_IMPL)

@@ -80,8 +80,7 @@ class MaskRCNN:
     def _init(self, rng: jax.Array) -> Params:
         cfg = self.config
         k_fpn, k_rpn, k_box, k_mask = jax.random.split(rng, 4)
-        dummy = jnp.zeros((1, cfg.IMAGE_MAX_DIM, cfg.IMAGE_MAX_DIM, 3),
-                          jnp.float32)
+        dummy = jnp.zeros((1,) + tuple(cfg.IMAGE_SHAPE), jnp.float32)
         fpn_params = self.fpn.init(k_fpn, dummy)
         p2 = jnp.zeros((1, cfg.BACKBONE_SHAPES[0][0],
                         cfg.BACKBONE_SHAPES[0][1], 256), jnp.float32)

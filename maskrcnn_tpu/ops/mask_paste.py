@@ -124,19 +124,20 @@ def masks_to_original(canvas_masks: jnp.ndarray, window: jnp.ndarray,
     Replaces the reference's host loop (data.py:265-284 decode_masks: per
     mask, crop the window then PIL-resize the whole canvas mask to the
     original size and threshold >127) with two batched matmuls per chunk.
-    One image: canvas_masks [N, D, D] bool, window (top, left, bottom,
-    right), original size (orig_h, orig_w) <= out_dim. Returns
-    [N, out_dim, out_dim] bool with the mask in rows [:orig_h, :orig_w].
+    One image: canvas_masks [N, CH, CW] bool (square or rectangular
+    canvas), window (top, left, bottom, right), original size
+    (orig_h, orig_w) <= out_dim. Returns [N, out_dim, out_dim] bool with
+    the mask in rows [:orig_h, :orig_w].
     """
-    n, d, _ = canvas_masks.shape
+    n, dh, dw = canvas_masks.shape
     window = window.astype(jnp.float32)
     ry = _pil_resize_operator(window[0], window[2] - window[0],
-                              orig_h, d, out_dim)           # [OUT, D]
+                              orig_h, dh, out_dim)          # [OUT, CH]
     rx = _pil_resize_operator(window[1], window[3] - window[1],
-                              orig_w, d, out_dim)           # [OUT, D]
+                              orig_w, dw, out_dim)          # [OUT, CW]
 
     def one_chunk(m):
-        v = m.astype(jnp.float32) * 255.0                    # [c, D, D]
+        v = m.astype(jnp.float32) * 255.0                    # [c, CH, CW]
         rows = jnp.einsum("yd,ndx->nyx", ry, v,
                           preferred_element_type=jnp.float32)
         out = jnp.einsum("nyx,wx->nyw", rows, rx,
@@ -147,7 +148,7 @@ def masks_to_original(canvas_masks: jnp.ndarray, window: jnp.ndarray,
     if pad:
         canvas_masks = jnp.pad(canvas_masks,
                                ((0, pad), (0, 0), (0, 0)))
-    mc = canvas_masks.reshape(-1, chunk, d, d)
+    mc = canvas_masks.reshape(-1, chunk, dh, dw)
     out = jax.lax.map(one_chunk, mc)
     return out.reshape(-1, out_dim, out_dim)[:n]
 
