@@ -45,13 +45,12 @@ def main(batch: int = 8, iters: int = 8):
     config = CocoInferenceConfig()
     model = MaskRCNN(config)
     params = jax.device_put(model.init(jax.random.PRNGKey(0)))
-    d = config.IMAGE_MAX_DIM
-    h = w = d
+    h, w = config.IMAGE_SHAPE[:2]
     rng = np.random.RandomState(0)
     images = jax.device_put(
-        rng.randint(0, 200, (batch, d, d, 3)).astype(np.uint8))
+        rng.randint(0, 200, (batch, h, w, 3)).astype(np.uint8))
     windows = jax.device_put(
-        np.tile([[0.0, 0.0, d, d]], (batch, 1)).astype(np.float32))
+        np.tile([[0.0, 0.0, h, w]], (batch, 1)).astype(np.float32))
     anchors_np = model.anchors()
 
     def stage_fn(upto: str):

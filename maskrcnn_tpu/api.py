@@ -104,6 +104,18 @@ class Detector:
 
     def detect_batch(self, images: Sequence[np.ndarray]):
         """Batched detection; one device round-trip for all images."""
+        handle = self.dispatch_batch(images)
+        return self.fetch(handle)
+
+    def dispatch_batch(self, images: Sequence[np.ndarray]):
+        """Preprocess + launch the device pipeline WITHOUT blocking.
+
+        JAX dispatch is asynchronous: this returns as soon as the work
+        is enqueued on the device, holding device arrays. A serving
+        loop can therefore overlap batch N's d2h transfer + host decode
+        (`fetch`) with batch N+1's device compute — see
+        serving.BatchingDetector's pipelined dispatcher.
+        """
         cfg = self.config
         canvases, windows, scales = [], [], []
         for img in images:
@@ -132,17 +144,24 @@ class Detector:
             # data.py:265-284) disappears; only 1-bit masks transfer.
             sizes = np.asarray([img.shape[:2] for img in images],
                                np.int32)
-            orig_packed = _device_decode_masks(
+            dev = {k: out[k] for k in (
+                "class_ids", "scores", "boxes", "valid")}
+            dev["masks_packed"] = _device_decode_masks(
                 out["masks_packed"], win, sizes[:, 0], sizes[:, 1],
                 out_dim, cw)
-            fetched = jax.device_get({k: out[k] for k in (
-                "class_ids", "scores", "boxes", "valid")})
-            fetched["masks_packed"] = jax.device_get(orig_packed)
         else:
-            # fetch only what the host needs; full masks travel
-            # bit-packed (8x less device->host traffic than bool)
-            fetched = jax.device_get({k: out[k] for k in (
-                "class_ids", "scores", "boxes", "valid", "masks_packed")})
+            # full masks travel bit-packed (8x less device->host
+            # traffic than bool)
+            dev = {k: out[k] for k in (
+                "class_ids", "scores", "boxes", "valid", "masks_packed")}
+        return dev, use_device, images, windows, scales
+
+    def fetch(self, handle):
+        """Block on a dispatch_batch handle and decode to host results."""
+        dev, use_device, images, windows, scales = handle
+        cfg = self.config
+        cw = cfg.IMAGE_SHAPE[1]
+        fetched = jax.device_get(dev)
         packed = fetched["masks_packed"]
 
         def decode_one(i):

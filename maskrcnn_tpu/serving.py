@@ -8,8 +8,13 @@ requests into device batches:
 
 * callers submit images from any thread and block on a Future;
 * a dispatcher thread drains the queue, waits at most `max_delay_ms`
-  to fill up to `max_batch`, runs ONE `detect_batch`, and resolves the
-  futures;
+  to fill up to `max_batch`, preprocesses, and launches the device
+  pipeline asynchronously (`Detector.dispatch_batch` — JAX dispatch
+  returns as soon as the work is enqueued);
+* a fetcher thread blocks on the device output and runs the host
+  decode (`Detector.fetch`), so batch N's d2h transfer + decode
+  overlaps batch N+1's device compute — a 2-deep pipeline bounded by
+  a maxsize-1 handoff queue (backpressure, no unbounded device work);
 * batches are padded to a small set of sizes (1, 2, 4, ..., max_batch)
   so XLA compiles a handful of graphs, not one per arrival pattern.
 
@@ -45,9 +50,15 @@ class BatchingDetector:
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
+        # dispatcher -> fetcher handoff; maxsize=1 caps in-flight device
+        # batches at 2 (one executing, one enqueued)
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=1)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
+        self._fetcher = threading.Thread(target=self._fetch_loop,
+                                         daemon=True)
         self._worker.start()
+        self._fetcher.start()
         self.batches_run = 0
         self.images_run = 0
 
@@ -70,6 +81,7 @@ class BatchingDetector:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        self._fetcher.join(timeout=5)
         # resolve anything still queued (including racy submits that got
         # in between the worker's last drain and thread exit)
         while True:
@@ -80,6 +92,15 @@ class BatchingDetector:
             if not fut.done():
                 fut.set_exception(RuntimeError("BatchingDetector closed "
                                                "before request ran"))
+        while True:
+            try:
+                _, batch = self._inflight.get_nowait()
+            except queue.Empty:
+                break
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(RuntimeError(
+                        "BatchingDetector closed before result fetched"))
 
     # ------------------------------------------------------------------
     def _run(self):
@@ -104,13 +125,45 @@ class BatchingDetector:
             target = _pad_size(len(images), self.max_batch)
             padded = images + [images[-1]] * (target - len(images))
             try:
-                results = self.detector.detect_batch(padded)
+                handle = self.detector.dispatch_batch(padded)
+            except Exception as e:  # resolve everyone; server stays up
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            # blocks when a batch is already waiting behind the one on
+            # device — the natural backpressure of a 2-deep pipeline
+            handed_off = False
+            while not self._stop.is_set():
+                try:
+                    self._inflight.put((handle, batch), timeout=0.1)
+                    handed_off = True
+                    break
+                except queue.Full:
+                    continue
+            if not handed_off:  # closed mid-handoff: don't strand callers
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError(
+                            "BatchingDetector closed before result "
+                            "fetched"))
+
+    def _fetch_loop(self):
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                handle, batch = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set():
+                    break
+                continue
+            try:
+                results = self.detector.fetch(handle)
                 self.batches_run += 1
-                self.images_run += len(images)
+                self.images_run += len(batch)
                 for (_, fut), res in zip(batch, results):
                     none_tuple = (None, None, None, None)
                     fut.set_result(res if res is not None else none_tuple)
-            except Exception as e:  # resolve everyone; server stays up
+            except Exception as e:
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)

@@ -40,6 +40,50 @@ def test_concurrent_requests_are_batched(batcher, rng):
         np.testing.assert_allclose(got[1], direct[1], rtol=1e-5)
 
 
+def test_dispatch_fetch_split_matches_detect_batch(batcher, rng):
+    """Detector.dispatch_batch + fetch (the pipelined serving path) must
+    equal the monolithic detect_batch exactly."""
+    det = batcher.detector
+    imgs = [(rng.rand(90, 110, 3) * 255).astype(np.uint8)
+            for _ in range(2)]
+    direct = det.detect_batch(imgs)
+    split = det.fetch(det.dispatch_batch(imgs))
+    for a, b in zip(direct, split):
+        if a is None:
+            assert b is None
+            continue
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+        np.testing.assert_array_equal(a[3], b[3])
+
+
+def test_pipeline_sustains_many_batches(batcher, rng):
+    """More batches than the 2-deep pipeline can hold at once: every
+    future resolves, none deadlock."""
+    imgs = [(rng.rand(64, 80, 3) * 255).astype(np.uint8)
+            for _ in range(12)]
+    futures = [batcher.submit(im) for im in imgs]
+    results = [f.result(timeout=300) for f in futures]
+    assert all(isinstance(r, tuple) and len(r) == 4 for r in results)
+
+
+def test_close_resolves_everything():
+    det = Detector(TinyConfig(DETECTION_MIN_CONFIDENCE=0.0))
+    b = BatchingDetector(det, max_batch=2, max_delay_ms=1.0)
+    img = np.zeros((64, 80, 3), np.uint8)
+    futs = [b.submit(img) for _ in range(4)]
+    b.close()
+    for f in futs:
+        try:
+            f.result(timeout=60)  # either a real result...
+        except RuntimeError:      # ...or the explicit closed error
+            pass
+    post = b.submit(img)
+    with pytest.raises(RuntimeError):
+        post.result(timeout=10)
+
+
 def test_http_server_roundtrip(tmp_path, rng):
     """Drive tools/serve.py's handler through a real socket."""
     import io
