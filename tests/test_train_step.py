@@ -164,3 +164,47 @@ def test_parallel_predict_on_mesh(setup, rng):
     ref = predict_step(model, params, images, windows)
     np.testing.assert_allclose(np.asarray(out["scores"]),
                                np.asarray(ref["scores"]), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_axis_mesh_step_matches_single_device(setup, rng):
+    """(dcn=2, dp=4) cross-slice topology: numeric parity with the
+    single-device step, and the lowered program really contains the
+    gradient all-reduce collective over all 8 devices (SURVEY section
+    2.3 multi-slice DP; roadmap item: verify the dcn-axis reduce)."""
+    cfg, model, params = setup
+    b = 8
+    batch = make_batch(cfg, rng, b)
+    key = jax.random.PRNGKey(7)
+
+    opt_and_mask, opt = _opt(cfg, params, layers="heads")
+    state0 = TrainState(step=jnp.int32(0), params=params,
+                        opt_state=opt.init(params))
+    single_state, single_metrics = train_step(model, opt_and_mask, state0,
+                                              batch, key)
+
+    mesh = make_mesh(8, dcn=2)
+    assert mesh.devices.shape == (2, 4)
+    pstep = make_parallel_train_step(model, opt_and_mask, mesh)
+    state_r = replicate(
+        TrainState(step=jnp.int32(0), params=params,
+                   opt_state=opt.init(params)), mesh)
+    batch_s = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                          mesh)
+    # every batch leaf shards over the dcn x dp product (8 ways)
+    for v in batch_s.values():
+        assert len(v.sharding.device_set) == 8
+        assert v.addressable_shards[0].data.shape[0] == b // 8
+
+    compiled = pstep.lower(state_r, batch_s,
+                           replicate(key, mesh)).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "no gradient all-reduce in lowered HLO"
+
+    par_state, par_metrics = pstep(state_r, batch_s, replicate(key, mesh))
+    np.testing.assert_allclose(float(single_metrics["total"]),
+                               float(par_metrics["total"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(single_state.params),
+                     jax.tree_util.tree_leaves(par_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
