@@ -107,6 +107,54 @@ class Detector:
         handle = self.dispatch_batch(images)
         return self.fetch(handle)
 
+    @staticmethod
+    def _canvas_geometry(h, w, min_dim, ch, cw):
+        """Window/scale math of data/codecs.resize_image without the
+        PIL resample — both paths share one geometry."""
+        scale = max(1.0, min_dim / min(h, w))
+        if round(h * scale) > ch or round(w * scale) > cw:
+            scale = min(ch / h, cw / w)
+        nh, nw = ((round(h * scale), round(w * scale))
+                  if scale != 1.0 else (h, w))
+        top = (ch - nh) // 2
+        left = (cw - nw) // 2
+        return (top, left, top + nh, left + nw), scale
+
+    def _preprocess(self, images: Sequence[np.ndarray]):
+        """Images -> (canvas batch, windows, scales).
+
+        With DEVICE_RESIZE the canvases are produced on device from the
+        raw pixels (ops/image.batched_resize_pad — ~3x less h2d traffic,
+        no host PIL loop); raw shapes bucket to multiples of 64 so the
+        jit cache stays small. Downscale images (or a dp mesh, whose
+        shard_batch wants host arrays) fall back to the host PIL path.
+        """
+        cfg = self.config
+        ch, cw = int(cfg.IMAGE_SHAPE[0]), int(cfg.IMAGE_SHAPE[1])
+        geoms = [self._canvas_geometry(img.shape[0], img.shape[1],
+                                       cfg.IMAGE_MIN_DIM, ch, cw)
+                 for img in images]
+        windows = [g[0] for g in geoms]
+        scales = [g[1] for g in geoms]
+        if (cfg.DEVICE_RESIZE and self._mesh is None
+                and all(s >= 1.0 for s in scales)):
+            from maskrcnn_tpu.ops.image import batched_resize_pad
+            hb = -(-max(i.shape[0] for i in images) // 64) * 64
+            wb = -(-max(i.shape[1] for i in images) // 64) * 64
+            raws = np.zeros((len(images), hb, wb, 3), np.uint8)
+            for i, img in enumerate(images):
+                raws[i, :img.shape[0], :img.shape[1]] = img
+            sizes = np.asarray([img.shape[:2] for img in images],
+                               np.int32)
+            batch = batched_resize_pad(
+                raws, np.asarray(windows, np.int32), sizes, (ch, cw))
+        else:
+            batch = np.stack([
+                resize_image(img, cfg.IMAGE_MIN_DIM, cfg.IMAGE_MAX_DIM,
+                             canvas_shape=(ch, cw))[0]
+                for img in images])
+        return batch, windows, scales
+
     def dispatch_batch(self, images: Sequence[np.ndarray]):
         """Preprocess + launch the device pipeline WITHOUT blocking.
 
@@ -117,15 +165,7 @@ class Detector:
         serving.BatchingDetector's pipelined dispatcher.
         """
         cfg = self.config
-        canvases, windows, scales = [], [], []
-        for img in images:
-            canvas, window, scale = resize_image(
-                img, cfg.IMAGE_MIN_DIM, cfg.IMAGE_MAX_DIM,
-                canvas_shape=cfg.IMAGE_SHAPE[:2])
-            canvases.append(canvas)
-            windows.append(window)
-            scales.append(scale)
-        batch = np.stack(canvases)
+        batch, windows, scales = self._preprocess(images)
         win = np.asarray(windows, np.float32)
 
         if cfg.MATMUL_PRECISION != "default":

@@ -118,6 +118,15 @@ class Config:
     # ORIG_MASK_CANVAS on a side fall back to the host path.
     DEVICE_MASK_DECODE: bool = True
     ORIG_MASK_CANVAS: int = 640  # >= the largest COCO val image side
+    # Resize+pad raw images to the canvas ON DEVICE (two MXU matmuls,
+    # ops/image.batched_resize_pad): the host ships raw uint8 pixels
+    # (~3x less host->device traffic for COCO-sized images) instead of
+    # full canvases, and the host PIL resize loop disappears from the
+    # serving path. Exact vs the host path at scale 1, PIL-close for
+    # upscale; images that need DOWNSCALING (or a dp mesh) fall back to
+    # the host path automatically. Off by default: evaluation parity
+    # prefers the bit-exact host PIL pipeline (data/codecs.py).
+    DEVICE_RESIZE: bool = False
     # Optional rectangular canvas (H, W), both divisible by 64. The
     # reference protocol is the square (MAX_DIM, MAX_DIM) canvas
     # (config.py:86-89, data.py:191-223) and stays the default; a

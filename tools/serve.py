@@ -103,8 +103,11 @@ def main():
     from maskrcnn_tpu.utils.profiler import enable_compile_cache
 
     enable_compile_cache()
+    # DEVICE_RESIZE: serving ships raw pixels h2d and resizes on the
+    # MXU (ops/image.batched_resize_pad); downscale images still take
+    # the host PIL path automatically.
     config = TinyConfig(DETECTION_MIN_CONFIDENCE=0.0) if args.tiny \
-        else CocoInferenceConfig()
+        else CocoInferenceConfig(DEVICE_RESIZE=True)
     det = Detector(config)
     if os.path.exists(args.model):
         det.load_weights(args.model)
