@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Training throughput benchmark: train-step images/sec/chip at 1024px.
 
-    python benchmarks/train_bench.py [batch] [remat:0|1] [mom_dtype]
+    python benchmarks/train_bench.py [batch] [remat:0|1] [mom_dtype] [remat_heads:0|1]
 
 The reference trains 1 image/step on an 8GB GPU (config.py:183-185) with
 host-side target sampling; this measures the full jitted step — on-device
@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 
-def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32"):
+def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32",
+         remat_heads: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +41,8 @@ def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32"):
     from maskrcnn_tpu.train.trainer import (LAYER_REGEX, decay_mask,
                                             trainable_mask)
 
-    config = CocoConfig(REMAT_BACKBONE=remat, OPT_MOMENTUM_DTYPE=mom_dtype)
+    config = CocoConfig(REMAT_BACKBONE=remat, OPT_MOMENTUM_DTYPE=mom_dtype,
+                        REMAT_HEADS=remat_heads)
     model = MaskRCNN(config)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -83,7 +85,7 @@ def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32"):
     state, loss = loop(state, batch_dev, key)
     float(loss)
     dt = (time.time() - t0) / iters
-    print(f"batch {batch} remat={remat} mom={mom_dtype}: {dt:.3f}s/step -> "
+    print(f"batch {batch} remat={remat} mom={mom_dtype} rheads={remat_heads}: {dt:.3f}s/step -> "
           f"{batch / dt:.2f} img/s ({1e3 * dt / batch:.1f} ms/img)")
 
 
@@ -91,4 +93,5 @@ if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     r = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     m = sys.argv[3] if len(sys.argv) > 3 else "float32"
-    main(b, r, m)
+    rh = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+    main(b, r, m, rh)

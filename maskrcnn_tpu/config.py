@@ -89,6 +89,14 @@ class Config:
     # the HBM pressure relief outweighs the recompute) and required for
     # large per-chip batches. No effect on inference.
     REMAT_BACKBONE: bool = True
+    # Rematerialise the RPN/box/mask head activations in the training
+    # backward pass (train/step.compute_losses). The RPN shared conv
+    # alone holds ~89 MB/img of bf16 activations (512ch over P2..P6)
+    # and the mask-head conv stack ~80 MB/img; recomputing them costs
+    # ~2 ms/img of extra forward FLOPs but unlocks larger per-chip
+    # batches at 1024px (b16 is the HBM-pinned operating point without
+    # it — see BENCHMARKS.md training section). No effect on inference.
+    REMAT_HEADS: bool = False
     # Matmul/conv precision: "default" lets f32 convs use bf16 passes on
     # TPU (fast); "float32"/"highest" forces full precision — use with
     # COMPUTE_DTYPE="float32" for exact-parity evaluation runs.

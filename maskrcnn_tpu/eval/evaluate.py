@@ -3,8 +3,9 @@
 Builds result dicts in the official format (xywh box + compressed-RLE
 mask per detection) and runs our standalone COCOeval. Unlike the
 reference's one-image-at-a-time `model.detect` loop, inference goes
-through `Detector.detect_batch` so the device processes several images
-per dispatch.
+through `Detector.dispatch_batch`/`fetch` in a 2-deep pipeline: the
+device processes several images per dispatch, and each batch's host
+decode + RLE encode overlaps the next batch's device compute.
 """
 
 from __future__ import annotations
@@ -56,11 +57,19 @@ def evaluate_coco(detector, dataset, coco, eval_type: str = "bbox",
     t_prediction = 0.0
     t_start = time.time()
     results = []
-    for start in range(0, len(image_ids), batch_size):
-        chunk = image_ids[start:start + batch_size]
-        images = [dataset.load_image(i) for i in chunk]
+    from maskrcnn_tpu.utils.progress import progress
+
+    # 2-deep pipeline: batch N's fetch + host decode + RLE encode
+    # overlaps batch N+1's image loading + device compute (the same
+    # dispatch/fetch overlap serving.BatchingDetector runs).
+    pending = None  # (chunk, handle)
+    done = 0
+
+    def drain(pending):
+        nonlocal t_prediction, done
+        chunk, handle = pending
         t = time.time()
-        outs = detector.detect_batch(images)
+        outs = detector.fetch(handle)
         t_prediction += time.time() - t
         for image_id, out in zip(chunk, outs):
             if out is None:
@@ -70,10 +79,22 @@ def evaluate_coco(detector, dataset, coco, eval_type: str = "bbox",
             results.extend(build_coco_results(
                 dataset, image_id, class_ids, scores,
                 boxes.astype(np.int32), np.asarray(masks, np.uint8)))
-        from maskrcnn_tpu.utils.progress import progress
-        progress(start + len(chunk), len(image_ids),
+        done += len(chunk)
+        progress(done, len(image_ids),
                  prefix=f"Evaluating {eval_type}",
-                 suffix=f"{start + len(chunk)}/{len(image_ids)}")
+                 suffix=f"{done}/{len(image_ids)}")
+
+    for start in range(0, len(image_ids), batch_size):
+        chunk = image_ids[start:start + batch_size]
+        images = [dataset.load_image(i) for i in chunk]
+        t = time.time()
+        handle = detector.dispatch_batch(images)
+        t_prediction += time.time() - t
+        if pending is not None:
+            drain(pending)
+        pending = (chunk, handle)
+    if pending is not None:
+        drain(pending)
 
     coco_results = coco.loadRes(results)
     coco_eval = COCOeval(coco, coco_results, eval_type)

@@ -56,9 +56,20 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
         batch = dict(batch)
         batch["gt_masks"] = unpack_masks(batch.pop("gt_masks_packed"), w)
 
+    # REMAT_HEADS: checkpoint the head applies so their large internals
+    # (RPN shared 512ch conv ~89 MB/img, mask conv stack ~80 MB/img in
+    # bf16) are recomputed in backward instead of held across the step —
+    # the inputs (FPN features, pooled RoIs) are live regardless.
+    rpn_fn, classify_fn, masks_fn = (model.rpn_detect, model.classify,
+                                     model.predict_masks)
+    if config.REMAT_HEADS:
+        rpn_fn = jax.checkpoint(rpn_fn)
+        classify_fn = jax.checkpoint(classify_fn)
+        masks_fn = jax.checkpoint(masks_fn)
+
     x = normalize_image(batch["images"], config.MEAN_PIXEL)
     feats = model.backbone(params, x)
-    rpn_logits, rpn_probs, rpn_bbox = model.rpn_detect(params, feats)
+    rpn_logits, rpn_probs, rpn_bbox = rpn_fn(params, feats)
 
     anchors = jnp.asarray(model.anchors())
     keys = jax.random.split(key, 2 * b)
@@ -89,14 +100,14 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
     t = config.TRAIN_ROIS_PER_IMAGE
     pooled = _pool_rois(feats, mrn_tgt.rois, config.POOL_SIZE,
                         config.IMAGE_SHAPE)
-    mrn_logits, _, mrn_deltas = model.classify(
+    mrn_logits, _, mrn_deltas = classify_fn(
         params, pooled.reshape(b * t, *pooled.shape[2:]))
     mrn_logits = mrn_logits.reshape(b, t, -1)
     mrn_deltas = mrn_deltas.reshape(b, t, config.NUM_CLASSES, 4)
 
     pooled_m = _pool_rois(feats, mrn_tgt.rois, config.MASK_POOL_SIZE,
                           config.IMAGE_SHAPE)
-    pred_masks = model.predict_masks(
+    pred_masks = masks_fn(
         params, pooled_m.reshape(b * t, *pooled_m.shape[2:]))
     pred_masks = pred_masks.reshape(b, t, *pred_masks.shape[1:])
 

@@ -208,3 +208,30 @@ def test_two_axis_mesh_step_matches_single_device(setup, rng):
                      jax.tree_util.tree_leaves(par_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_remat_heads_identical_grads(setup, rng):
+    """REMAT_HEADS changes the backward-pass schedule (head internals
+    recomputed, not saved), never the math: losses and gradients must be
+    bit-identical to the non-remat step."""
+    cfg, model, params = setup
+    from maskrcnn_tpu.train.step import compute_losses
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(cfg, rng, 2).items()}
+    key = jax.random.PRNGKey(3)
+
+    def grads_for(config):
+        m = MaskRCNN(config)
+
+        def loss_fn(p):
+            losses = compute_losses(m, p, key, batch)
+            return losses.total, losses
+
+        return jax.jit(jax.grad(loss_fn, has_aux=True))(params)
+
+    g0, l0 = grads_for(cfg)
+    g1, l1 = grads_for(cfg.replace(REMAT_HEADS=True))
+    np.testing.assert_array_equal(float(l0.total), float(l1.total))
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
