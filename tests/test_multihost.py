@@ -61,8 +61,18 @@ class FakeDataset:
                 "gt_masks": masks, "gt_valid": valid}
 
 
-def _one_step(config, batch, mesh_devices=None):
-    """One data-parallel train step; returns the metrics dict."""
+def _one_step(config, batch, barrier=None):
+    """One data-parallel train step; returns the metrics dict.
+
+    `barrier()` (multi-process children only) is invoked AFTER the step
+    is AOT-compiled but BEFORE it executes: Gloo's context init inside
+    the first collective has a hard 30 s key-value timeout, while CPU
+    compile times differ by minutes between processes whenever the
+    persistent cache misses (XLA:CPU AOT cache entries can fail to load
+    with a machine-feature mismatch, so misses are nondeterministic).
+    Compiling first and rendezvousing at the coordinator's KV barrier —
+    which takes no collective — guarantees both processes enter the Gloo
+    exchange within milliseconds of each other."""
     import jax
 
     from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
@@ -87,6 +97,9 @@ def _one_step(config, batch, mesh_devices=None):
                                  opt_state=optimizer.init(params)), mesh)
     sharded = shard_batch(batch, mesh)
     key = replicate(jax.random.PRNGKey(42), mesh)
+    if barrier is not None:
+        pstep = pstep.lower(state, sharded, key).compile()
+        barrier()
     _, metrics = pstep(state, sharded, key)
     return {k: float(v) for k, v in metrics.items()}
 
@@ -118,7 +131,13 @@ def _child_main(pid: int, port: int):
     loader.close()
     assert batch["images"].shape[0] == GLOBAL_BATCH // N_PROC
 
-    metrics = _one_step(config, batch)
+    from jax._src import distributed
+
+    def barrier():
+        distributed.global_state.client.wait_at_barrier(
+            "multihost_test_compiled", timeout_in_ms=900_000)
+
+    metrics = _one_step(config, batch, barrier=barrier)
     if pid == 0:
         with open(f"/tmp/multihost_metrics_{port}.json", "w") as f:
             json.dump(metrics, f)
@@ -146,16 +165,26 @@ def test_two_process_dp_matches_single_process():
     env["XLA_FLAGS"] = " ".join(flags)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 
+    logs = [open(f"/tmp/multihost_child{pid}_{port}.log", "w+b")
+            for pid in range(N_PROC)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), str(pid), str(port)],
-        env=env, cwd=REPO) for pid in range(N_PROC)]
+        env=env, cwd=REPO, stdout=logs[pid], stderr=subprocess.STDOUT)
+        for pid in range(N_PROC)]
     try:
-        for p in procs:
-            assert p.wait(timeout=1200) == 0, "multi-host child failed"
+        for pid, p in enumerate(procs):
+            rc = p.wait(timeout=1200)
+            if rc != 0:
+                logs[pid].seek(0)
+                tail = logs[pid].read().decode(errors="replace")[-4000:]
+                raise AssertionError(
+                    f"multi-host child {pid} exited {rc}:\n{tail}")
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for f in logs:
+            f.close()
     with open(out) as f:
         multi = json.load(f)
 
