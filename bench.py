@@ -66,10 +66,20 @@ def bench(batch_sizes=(48, 32, 8, 1), iters: int = 8, overrides=None):
     if config.FOLD_BN:
         from maskrcnn_tpu.checkpoint.fold import fold_bn_params
         params = fold_bn_params(params)
-    params = jax.device_put(params)
 
     h, w = config.IMAGE_SHAPE[:2]
     rng = np.random.RandomState(0)
+
+    if config.QUANT_INT8:
+        from maskrcnn_tpu.quant import prepare_quant_params
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy[..., None] * 255 // (h - 1)
+                + xx[..., None] * 255 // (w - 1)) // 2
+        calib = np.stack([
+            np.clip(base + rng.randint(-60, 60, (h, w, 3)), 0, 255)
+            for _ in range(2)]).astype(np.uint8)
+        params = prepare_quant_params(model, params, calib, batch_size=2)
+    params = jax.device_put(params)
 
     best = 0.0
     best_batch = 0
@@ -177,7 +187,24 @@ if __name__ == "__main__":
     # optional A/B config overrides: python bench.py '{"FOLD_BN": true}'
     # (the driver passes no args and benches the production config)
     overrides = json.loads(sys.argv[1]) if len(sys.argv) > 1 else None
-    value, batch = bench(overrides=overrides)
+    value_bf16, batch_bf16 = bench(overrides=overrides)
+    # int8-PTQ serving configuration (quant.py): same pipeline with the
+    # backbone + RPN shared conv quantized. Accuracy is gated by
+    # tests/test_quant.py (feature cosine >= 0.995) and the trained-AP
+    # parity assert in tests/test_learning_ap.py.
+    if not (overrides or {}).get("QUANT_INT8"):
+        try:
+            q_over = dict(overrides or {}, QUANT_INT8=True)
+            value_q, batch_q = bench(overrides=q_over)
+        except Exception as e:
+            print(f"int8 bench failed: {e}", file=sys.stderr)
+            value_q, batch_q = 0.0, 0
+    else:
+        value_q, batch_q = value_bf16, batch_bf16
+    if value_q > value_bf16:
+        value, batch, cfg_name = value_q, batch_q, "int8-ptq"
+    else:
+        value, batch, cfg_name = value_bf16, batch_bf16, "bf16"
     try:
         e2e, h2d = bench_detector()
         e2e, h2d = round(e2e, 3), round(h2d, 1)
@@ -195,6 +222,13 @@ if __name__ == "__main__":
         "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_IMG_PER_SEC, 2),
         "batch_size": batch,
+        # which pipeline precision won: "bf16" (reference-parity
+        # numerics) or "int8-ptq" (quant.py post-training quantization
+        # of backbone+RPN — accuracy gated in tests/test_quant.py and
+        # tests/test_learning_ap.py; geometry/NMS/heads stay float)
+        "config": cfg_name,
+        "bf16_img_per_sec": round(value_bf16, 3),
+        "int8_img_per_sec": round(value_q, 3),
         # secondary: through the public Detector API incl. host
         # preprocess + original-coordinate mask decode (the honest
         # `coco.py evaluate` per-image cost, sans JPEG/RLE). In this

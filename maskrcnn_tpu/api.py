@@ -45,9 +45,16 @@ def _device_decode_masks(masks_packed, windows, ohs, ows, out_dim,
 class Detector:
     """Stateful convenience wrapper around the pure pipeline."""
 
-    def __init__(self, config: Config, params=None, rng_seed: int = 0):
+    def __init__(self, config: Config, params=None, rng_seed: int = 0,
+                 calib_images=None):
+        """calib_images: [N, H, W, 3] uint8 canvases used to calibrate
+        activation scales when config.QUANT_INT8 is set; pass a handful
+        of representative frames (resized+padded to IMAGE_SHAPE). When
+        omitted, synthetic gradient canvases are used — fine for
+        benchmarking, but real frames give tighter scales."""
         self.config = config
         self.model = MaskRCNN(config)
+        self._calib_images = calib_images
         # batch-sharded eval sweeps over a dp mesh (SURVEY section 2.3):
         # with NUM_DEVICES > 1 each detect_batch shards its images over
         # the mesh and XLA runs them in parallel
@@ -61,12 +68,33 @@ class Detector:
                 self.model, self._mesh)
         if params is None:
             params = self.model.init(jax.random.PRNGKey(rng_seed))
+        # pristine float tree kept as the checkpoint-load template (the
+        # prepared tree may be folded/quantized and no longer match)
+        self._float_params = params
         self.params = self._prepare(params)
+
+    def _default_calib_images(self, n: int = 4):
+        """Synthetic gradient+texture canvases spanning the uint8 range."""
+        ch, cw = int(self.config.IMAGE_SHAPE[0]), int(
+            self.config.IMAGE_SHAPE[1])
+        rng = np.random.RandomState(0)
+        yy, xx = np.mgrid[0:ch, 0:cw]
+        base = ((yy[..., None] * 255 // max(ch - 1, 1))
+                + (xx[..., None] * 255 // max(cw - 1, 1))) // 2
+        imgs = [np.clip(base + rng.randint(-60, 60, (ch, cw, 3)), 0, 255)
+                for _ in range(n)]
+        return np.asarray(imgs, np.uint8)
 
     def _prepare(self, params):
         if self.config.FOLD_BN:
             from maskrcnn_tpu.checkpoint.fold import fold_bn_params
             params = fold_bn_params(params)
+        if self.config.QUANT_INT8:
+            from maskrcnn_tpu.quant import prepare_quant_params
+            calib = self._calib_images
+            if calib is None:
+                calib = self._default_calib_images()
+            params = prepare_quant_params(self.model, params, calib)
         if self._mesh is not None:
             from maskrcnn_tpu.parallel import replicate
             params = replicate(params, self._mesh)
@@ -74,8 +102,9 @@ class Detector:
 
     def load_weights(self, path: str):
         from maskrcnn_tpu.checkpoint.store import load_params
-        self.params = self._prepare(
-            load_params(path, self.params, self.config.BACKBONE))
+        self._float_params = load_params(path, self._float_params,
+                                         self.config.BACKBONE)
+        self.params = self._prepare(self._float_params)
 
     def detect(self, image: np.ndarray):
         """Single image -> (class_ids, scores, boxes, masks) in original

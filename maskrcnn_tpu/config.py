@@ -116,6 +116,13 @@ class Config:
     # Space-to-depth stem: 7x7/2 conv on 3 channels -> identical 4x4/1
     # conv on a (2,2)-blocked 12-channel input (better MXU occupancy).
     S2D_STEM: bool = False
+    # Inference-only int8 quantization of the backbone + RPN shared conv
+    # (quant.py): per-output-channel weight scales, calibrated per-tensor
+    # activation scales, int8 MXU convs with f32 dequant epilogues. The
+    # param tree must come from quant.prepare_quant_params; geometry ops
+    # and box/mask heads stay in COMPUTE_DTYPE. See BENCHMARKS.md for
+    # measured speed/accuracy.
+    QUANT_INT8: bool = False
     # Momentum-buffer dtype for the SGD optimizer ("bfloat16" halves
     # optimizer-state HBM — an HBM-headroom knob, not a speed knob;
     # see train/step.py make_optimizer).

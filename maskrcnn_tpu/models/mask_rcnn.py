@@ -100,7 +100,14 @@ class MaskRCNN:
 
     # ---- stage API ----
     def backbone(self, params: Params, images: jnp.ndarray) -> List:
-        """images [B, H, W, 3] float32 -> [P2..P6] (model.py:1145)."""
+        """images [B, H, W, 3] float32 -> [P2..P6] (model.py:1145).
+
+        With Config.QUANT_INT8 and a quant.prepare_quant_params tree,
+        routes through the int8 backbone (quant.py)."""
+        if self.config.QUANT_INT8 and "quant" in params:
+            from maskrcnn_tpu import quant
+            return quant.quant_backbone(self.config, params["quant"],
+                                        images)
         return self.fpn.apply({"params": params["fpn"]}, images)
 
     def rpn_detect(self, params: Params, feature_maps: Sequence):
@@ -126,6 +133,10 @@ class MaskRCNN:
         Returns (scores [B, A] float32, deltas [B, A, 4] compute dtype).
         """
         cfg = self.config
+        if cfg.QUANT_INT8 and "quant" in params:
+            from maskrcnn_tpu import quant
+            return quant.quant_rpn_scores(cfg, params["quant"],
+                                          params["rpn"], feature_maps)
         dt = _dtype(cfg)
         rp = params["rpn"]
         ks = rp["conv_shared"]["kernel"].astype(dt)

@@ -1,0 +1,318 @@
+"""Post-training int8 quantization for the inference backbone + RPN.
+
+The v5e MXU runs int8 at ~2x the bf16 rate (measured: 195.7 vs 131.5
+TOP/s on the C4 3x3 conv shape) and int8 activations halve HBM traffic
+on the bandwidth-bound C2/C3 stages (a full bottleneck chain with
+requantization measures 1.31-1.38x over bf16 on chip). This module
+quantizes the conv-heavy inference path — ResNet stages C2..C5, the FPN
+neck, and the RPN shared 3x3 conv, together ~94% of the pipeline's
+FLOPs — while keeping the stem, all geometry ops, and the box/mask
+heads in the regular compute dtype. Opt-in via `Config.QUANT_INT8`;
+inference-only (there is no quantized backward).
+
+Scheme (standard symmetric PTQ):
+* weights: per-output-channel scales `sw[c] = max|W[..., c]| / 127`,
+  folded-BN kernels (checkpoint.fold.fold_bn_params) so the affine is
+  inside the quantized kernel;
+* activations: per-tensor scales `sx = amax / 127`, calibrated by
+  running the float model over user-supplied images and recording the
+  max-abs input of every quantized conv (ReLU outputs are one-sided, so
+  this is effectively 7-bit — the standard trade for symmetric kernels);
+* conv: int8 x int8 -> int32 on the MXU, dequantized in the epilogue
+  `y = y32 * (sx * sw) + bias` (f32), ReLU, cast to the compute dtype.
+  Residual adds and the top-down FPN adds stay in the compute dtype.
+
+The forward here is a functional twin of models/{resnet,fpn,rpn}.py
+(reference architecture: model.py:174-270, 97-168, 582-649) with two
+modes sharing one code path: `calib` runs the float convs (bit-equal to
+the flax modules with FOLD_BN=True — asserted in tests/test_quant.py)
+while recording activation stats; `int8` consumes the quantized tree.
+Sharing the traversal means the quantized graph cannot structurally
+diverge from the tested float one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskrcnn_tpu.checkpoint.fold import fold_bn_params
+from maskrcnn_tpu.config import Config
+from maskrcnn_tpu.ops.image import normalize_image
+
+Params = Dict[str, Any]
+
+
+class QT(NamedTuple):
+    """A quantized tensor: int8 values + its (traced) f32 scale."""
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+
+@dataclasses.dataclass
+class _Ctx:
+    """Shared traversal state for the calib (float) / int8 modes."""
+
+    mode: str                      # "calib" | "int8"
+    dtype: Any                     # compute dtype for float tensors
+    fp: Optional[Params] = None    # calib: folded float fpn tree
+    tree: Optional[Params] = None  # int8: {"convs", "acts", "stem"}
+    stats: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+
+    # -- activation quantization ------------------------------------
+    def qt(self, name: str, x: jnp.ndarray):
+        """Quantize tensor `x` (int8 mode) or record its amax (calib)."""
+        if self.mode == "calib":
+            self.stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            return x
+        s = self.tree["acts"][name]
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)),
+                     -127.0, 127.0).astype(jnp.int8)
+        return QT(q, s)
+
+    # -- conv --------------------------------------------------------
+    def conv(self, path: str, x, strides=(1, 1), padding=((0, 0), (0, 0)),
+             relu: bool = False, fp_override: Optional[Params] = None):
+        """One (possibly quantized) conv + bias (+ ReLU).
+
+        `x` is a QT in int8 mode, a float tensor in calib mode.
+        `fp_override` supplies float weights living outside the fpn tree
+        (the RPN shared conv) in calib mode.
+        """
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.mode == "calib":
+            p = fp_override if fp_override is not None else _get(self.fp, path)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), p["kernel"].astype(self.dtype),
+                strides, padding, dimension_numbers=dn)
+            y = y + p["bias"].astype(self.dtype)
+        else:
+            e = self.tree["convs"][path]
+            y32 = jax.lax.conv_general_dilated(
+                x.q, e["kernel"], strides, padding, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = y32.astype(jnp.float32) * (x.scale * e["kscale"]) + e["bias"]
+            y = y.astype(self.dtype)
+        return jax.nn.relu(y) if relu else y
+
+    def float_conv(self, entry: Params, x, strides=(1, 1),
+                   padding=((0, 0), (0, 0))):
+        """Unquantized conv from an explicit {kernel, bias} entry."""
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), entry["kernel"].astype(self.dtype),
+            strides, padding, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + entry["bias"].astype(self.dtype)
+
+
+def _get(tree: Params, path: str) -> Params:
+    for k in path.split("/"):
+        tree = tree[k]
+    return tree
+
+
+def _nearest_up2(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _bottleneck(ctx: _Ctx, path: str, x, stride: int, downsample: bool):
+    """models/resnet.py Bottleneck with folded BN (model.py:174-211)."""
+    xq = ctx.qt(f"{path}/in", x)
+    s = (stride, stride)
+    o = ctx.conv(f"{path}/conv1", xq, strides=s, relu=True)
+    o = ctx.conv(f"{path}/conv2", ctx.qt(f"{path}/a1", o),
+                 padding=((1, 1), (1, 1)), relu=True)
+    o = ctx.conv(f"{path}/conv3", ctx.qt(f"{path}/a2", o))
+    if downsample:
+        residual = ctx.conv(f"{path}/downsample_conv", xq, strides=s)
+    else:
+        residual = x
+    return jax.nn.relu(o + residual)
+
+
+def _stage(ctx: _Ctx, path: str, x, blocks: int, stride: int):
+    x = _bottleneck(ctx, f"{path}/block0", x, stride, downsample=True)
+    for i in range(1, blocks):
+        x = _bottleneck(ctx, f"{path}/block{i}", x, 1, downsample=False)
+    return x
+
+
+def _stem_entry(ctx: _Ctx) -> Params:
+    if ctx.mode == "calib":
+        return _get(ctx.fp, "resnet/C1_conv")
+    return ctx.tree["stem"]
+
+
+def fpn_forward(config: Config, ctx: _Ctx, x: jnp.ndarray):
+    """ResNet + FPN neck, calib/int8 dual-mode. Returns [P2..P6]."""
+    blocks4 = {"resnet50": 6, "resnet101": 23}[config.BACKBONE]
+
+    # C1 stem stays float: 3 input channels use 3 of 128 MXU lanes, the
+    # stage is bandwidth-bound, and its input scale is the image range.
+    x = jax.nn.relu(ctx.float_conv(_stem_entry(ctx), x, strides=(2, 2),
+                                   padding=((3, 3), (3, 3))))
+    c1 = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+
+    c2 = _stage(ctx, "resnet/C2", c1, 3, 1)
+    c3 = _stage(ctx, "resnet/C3", c2, 4, 2)
+    c4 = _stage(ctx, "resnet/C4", c3, blocks4, 2)
+    c5 = _stage(ctx, "resnet/C5", c4, 3, 2)
+
+    p5 = ctx.conv("P5_conv1", ctx.qt("C5_out", c5))
+    p4 = ctx.conv("P4_conv1", ctx.qt("C4_out", c4)) + _nearest_up2(p5)
+    p3 = ctx.conv("P3_conv1", ctx.qt("C3_out", c3)) + _nearest_up2(p4)
+    p2 = ctx.conv("P2_conv1", ctx.qt("C2_out", c2)) + _nearest_up2(p3)
+
+    pad = ((1, 1), (1, 1))
+    p5s = ctx.conv("P5_conv2", ctx.qt("P5_pre", p5), padding=pad)
+    p4s = ctx.conv("P4_conv2", ctx.qt("P4_pre", p4), padding=pad)
+    p3s = ctx.conv("P3_conv2", ctx.qt("P3_pre", p3), padding=pad)
+    p2s = ctx.conv("P2_conv2", ctx.qt("P2_pre", p2), padding=pad)
+    p6 = p5s[:, ::2, ::2, :]
+    return [p2s, p3s, p4s, p5s, p6]
+
+
+def rpn_scores_forward(config: Config, ctx: _Ctx, rpn_params: Params,
+                       feature_maps: Sequence[jnp.ndarray]):
+    """models/mask_rcnn.py rpn_scores with a quantized shared conv.
+
+    The 18-channel fused class/bbox 1x1 stays float: it is ~0.2% of the
+    RPN's FLOPs and feeds score/delta geometry directly.
+    """
+    dt = jnp.dtype(config.COMPUTE_DTYPE) if ctx.mode == "int8" else ctx.dtype
+    a = len(config.RPN_ANCHOR_RATIOS)
+    s = config.RPN_ANCHOR_STRIDE
+    kf = jnp.concatenate([rpn_params["conv_class"]["kernel"],
+                          rpn_params["conv_bbox"]["kernel"]],
+                         axis=-1).astype(dt)
+    bf = jnp.concatenate([rpn_params["conv_class"]["bias"],
+                          rpn_params["conv_bbox"]["bias"]],
+                         axis=-1).astype(dt)
+    dn = ("NHWC", "HWIO", "NHWC")
+    scores_l, deltas_l = [], []
+    for i, f in enumerate(feature_maps):
+        shared = ctx.conv(
+            "rpn/conv_shared", ctx.qt(f"rpn/P{i}", f),
+            strides=(s, s), padding=((1, 1), (1, 1)), relu=True,
+            fp_override=rpn_params["conv_shared"])
+        y = jax.lax.conv_general_dilated(
+            shared.astype(dt), kf, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=dn) + bf
+        b = y.shape[0]
+        cls = y[..., :2 * a].reshape(b, -1, 2)
+        box = y[..., 2 * a:].reshape(b, -1, 4)
+        scores_l.append(jax.nn.sigmoid(
+            (cls[..., 1] - cls[..., 0]).astype(jnp.float32)))
+        deltas_l.append(box)
+    return (jnp.concatenate(scores_l, axis=1),
+            jnp.concatenate(deltas_l, axis=1))
+
+
+# ---------------------------------------------------------------------
+# quantization (host-side, numpy)
+# ---------------------------------------------------------------------
+
+def _conv_paths(config: Config):
+    """Every quantized conv path in traversal order."""
+    blocks = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+    paths = []
+    for stage, n in zip(("C2", "C3", "C4", "C5"), blocks[config.BACKBONE]):
+        for b in range(n):
+            base = f"resnet/{stage}/block{b}"
+            paths += [f"{base}/conv1", f"{base}/conv2", f"{base}/conv3"]
+            if b == 0:
+                paths.append(f"{base}/downsample_conv")
+    paths += [f"P{i}_conv{j}" for i in (2, 3, 4, 5) for j in (1, 2)]
+    return paths
+
+
+def _quantize_kernel(entry: Params) -> Params:
+    k = np.asarray(entry["kernel"], np.float32)
+    amax = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)), 1e-8)  # [O]
+    sw = (amax / 127.0).astype(np.float32)
+    q = np.clip(np.round(k / sw), -127, 127).astype(np.int8)
+    return {"kernel": jnp.asarray(q), "kscale": jnp.asarray(sw),
+            "bias": jnp.asarray(np.asarray(entry["bias"], np.float32))}
+
+
+def _calib_step(model, folded_fpn: Params, rpn_params: Params,
+                images: jnp.ndarray):
+    """One jitted calibration forward; returns activation amax stats."""
+    cfg = model.config
+    ctx = _Ctx(mode="calib", dtype=jnp.dtype(cfg.COMPUTE_DTYPE),
+               fp=folded_fpn)
+    x = normalize_image(images, cfg.MEAN_PIXEL)
+    feats = fpn_forward(cfg, ctx, x)
+    rpn_scores_forward(cfg, ctx, rpn_params, feats)
+    return ctx.stats
+
+
+def prepare_quant_params(model, params: Params,
+                         calib_images: np.ndarray,
+                         batch_size: int = 4) -> Params:
+    """Calibrate + quantize. Returns the inference param tree for a
+    `Config.QUANT_INT8=True` pipeline.
+
+    calib_images: [N, H, W, 3] uint8 resized+padded canvases (the same
+    distribution `predict_step` will see). A handful of representative
+    frames is enough for per-tensor amax calibration.
+
+    The returned tree keeps the float box/mask heads and RPN 1x1s and
+    REPLACES the float fpn subtree with the quantized one (int8 kernels
+    are 4x smaller in HBM than f32).
+    """
+    calib_images = np.asarray(calib_images)
+    assert calib_images.ndim == 4 and calib_images.shape[0] >= 1
+    folded = fold_bn_params(params["fpn"])
+    step = jax.jit(functools.partial(_calib_step, model))
+
+    stats: Dict[str, float] = {}
+    for i in range(0, calib_images.shape[0], batch_size):
+        batch = jnp.asarray(calib_images[i:i + batch_size])
+        got = jax.device_get(step(folded, params["rpn"], batch))
+        for k, v in got.items():
+            stats[k] = max(stats.get(k, 0.0), float(v))
+
+    acts = {k: jnp.float32(max(v, 1e-6) / 127.0) for k, v in stats.items()}
+    convs = {p: _quantize_kernel(_get(folded, p)) for p in _conv_paths(
+        model.config)}
+    convs["rpn/conv_shared"] = _quantize_kernel(
+        params["rpn"]["conv_shared"])
+    stem = _get(folded, "resnet/C1_conv")
+    quant_tree = {
+        "convs": convs,
+        "acts": acts,
+        "stem": {"kernel": jnp.asarray(np.asarray(stem["kernel"],
+                                                  np.float32)),
+                 "bias": jnp.asarray(np.asarray(stem["bias"],
+                                                np.float32))},
+    }
+    return {
+        "quant": quant_tree,
+        "rpn": params["rpn"],
+        "box_head": params["box_head"],
+        "mask_head": params["mask_head"],
+    }
+
+
+# -- jit-callable int8 entry points (used by MaskRCNN routing) --------
+
+def quant_backbone(config: Config, quant_tree: Params, x: jnp.ndarray):
+    ctx = _Ctx(mode="int8", dtype=jnp.dtype(config.COMPUTE_DTYPE),
+               tree=quant_tree)
+    return fpn_forward(config, ctx, x)
+
+
+def quant_rpn_scores(config: Config, quant_tree: Params,
+                     rpn_params: Params, feats: Sequence[jnp.ndarray]):
+    ctx = _Ctx(mode="int8", dtype=jnp.dtype(config.COMPUTE_DTYPE),
+               tree=quant_tree)
+    return rpn_scores_forward(config, ctx, rpn_params, feats)

@@ -143,3 +143,17 @@ def test_trained_model_reaches_ap50(tmp_path):
     # README.md:38-55 protocol). Measured 0.92/0.92 at 240 steps.
     assert stats_bbox[1] >= 0.5, f"bbox AP50 {stats_bbox[1]:.3f} < 0.5"
     assert stats_segm[1] >= 0.3, f"segm AP50 {stats_segm[1]:.3f} < 0.3"
+
+    # int8 quantized inference (quant.py) preserves the task metric:
+    # calibrate on training-distribution scenes, evaluate the SAME
+    # trained checkpoint through the int8 pipeline, assert AP50 within
+    # 0.05 of the float run.
+    calib = np.stack([_scene(np.random.RandomState(900 + i), cfg)[0]
+                      for i in range(4)])
+    qdet = Detector(cfg.replace(QUANT_INT8=True),
+                    params=jax.device_get(state.params),
+                    calib_images=calib)
+    qstats = evaluate_coco(qdet, ds, ds.coco, "bbox", limit=8,
+                           batch_size=4)
+    assert qstats[1] >= stats_bbox[1] - 0.05, (
+        f"int8 bbox AP50 {qstats[1]:.3f} vs float {stats_bbox[1]:.3f}")

@@ -1,0 +1,121 @@
+"""int8 quantization tests (quant.py).
+
+Strategy: the quantized graph shares its traversal with a float "calib"
+mode, so (1) asserting the calib forward BIT-EXACT against the tested
+flax modules proves the structure, and (2) the int8 numerics are then
+bounded against the float forward (cosine/relative-L2), plus an
+end-to-end predict_step smoke. Reference behavior being reproduced:
+model.py:174-270 (ResNet), 97-168 (FPN), 582-649 (RPN).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maskrcnn_tpu import quant
+from maskrcnn_tpu.checkpoint.fold import fold_bn_params
+from maskrcnn_tpu.config import TinyConfig
+from maskrcnn_tpu.detection.pipeline import predict_step
+from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+from maskrcnn_tpu.ops.image import normalize_image
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TinyConfig()
+    model = MaskRCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    # structured calib/test images: gradient + blocks, not pure noise
+    yy, xx = np.mgrid[0:128, 0:128]
+    base = (yy[..., None] + xx[..., None]) % 256
+    imgs = np.stack([base + rng.randint(0, 80, (128, 128, 3)),
+                     255 - base + rng.randint(0, 80, (128, 128, 3))])
+    imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+    return cfg, model, params, imgs
+
+
+def test_calib_forward_bit_exact(setup):
+    """quant.py's float mode == the flax modules with FOLD_BN=True."""
+    cfg, model, params, imgs = setup
+    folded = fold_bn_params(params["fpn"])
+    model_fold = MaskRCNN(cfg.replace(FOLD_BN=True))
+    x = normalize_image(jnp.asarray(imgs), cfg.MEAN_PIXEL)
+
+    feats_flax = jax.jit(model_fold.backbone)({"fpn": folded}, x)
+    dt = jnp.dtype(cfg.COMPUTE_DTYPE)
+    feats_calib = jax.jit(lambda fp, x: quant.fpn_forward(
+        cfg, quant._Ctx(mode="calib", dtype=dt, fp=fp), x))(folded, x)
+    for a, b in zip(feats_flax, feats_calib):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s0, d0 = jax.jit(model_fold.rpn_scores)({"rpn": params["rpn"]},
+                                            feats_flax)
+    s1, d1 = jax.jit(lambda rp, f: quant.rpn_scores_forward(
+        cfg, quant._Ctx(mode="calib", dtype=dt), rp, f))(
+            params["rpn"], feats_flax)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_int8_backbone_close_to_float(setup):
+    cfg, model, params, imgs = setup
+    qparams = quant.prepare_quant_params(model, params, imgs)
+    x = normalize_image(jnp.asarray(imgs), cfg.MEAN_PIXEL)
+    feats = jax.jit(model.backbone)(params, x)
+    qcfg = cfg.replace(QUANT_INT8=True)
+    feats_q = jax.jit(lambda qt, x: quant.quant_backbone(qcfg, qt, x))(
+        qparams["quant"], x)
+    for lvl, (a, b) in enumerate(zip(feats, feats_q)):
+        af = np.asarray(a, np.float32).ravel()
+        bf = np.asarray(b, np.float32).ravel()
+        cos = float(af @ bf / (np.linalg.norm(af) * np.linalg.norm(bf)))
+        rel = float(np.linalg.norm(af - bf) / np.linalg.norm(af))
+        assert cos > 0.995, (lvl, cos)
+        assert rel < 0.06, (lvl, rel)
+
+
+def test_int8_param_tree_shapes(setup):
+    cfg, model, params, imgs = setup
+    qparams = quant.prepare_quant_params(model, params, imgs)
+    convs = qparams["quant"]["convs"]
+    # resnet50 tiny: 16 bottlenecks x3 + 4 downsamples + 8 fpn + rpn
+    assert len(convs) == 16 * 3 + 4 + 8 + 1
+    for path, e in convs.items():
+        assert e["kernel"].dtype == jnp.int8, path
+        assert e["kscale"].shape == (e["kernel"].shape[-1],), path
+        # every output channel uses the full int8 range after
+        # per-channel scaling
+        assert int(jnp.max(jnp.abs(e["kernel"].astype(jnp.int32)))) == 127
+    acts = qparams["quant"]["acts"]
+    assert all(float(v) > 0 for v in acts.values())
+    # per-level RPN input scales exist
+    for i in range(5):
+        assert f"rpn/P{i}" in acts
+
+
+def test_quant_predict_step_detections_agree(setup):
+    """End-to-end: int8 pipeline produces detections consistent with
+    the float pipeline on the same inputs (same boxes within a few px
+    for detections both paths keep)."""
+    cfg, model, params, imgs = setup
+    qparams = quant.prepare_quant_params(model, params, imgs)
+    windows = jnp.asarray([[0, 0, 128, 128]] * 2, jnp.float32)
+    out_f = jax.device_get(predict_step(
+        model, params, jnp.asarray(imgs), windows))
+    qcfg = cfg.replace(QUANT_INT8=True)
+    out_q = jax.device_get(predict_step(
+        MaskRCNN(qcfg), qparams, jnp.asarray(imgs), windows))
+    assert out_q["boxes"].shape == out_f["boxes"].shape
+    assert out_q["masks_packed"].dtype == out_f["masks_packed"].dtype
+    # With random-init weights detections are arbitrary, so assert the
+    # stage the quantization actually touches: RPN proposal scores.
+    x = normalize_image(jnp.asarray(imgs), cfg.MEAN_PIXEL)
+    s_f, _ = jax.jit(model.rpn_scores)(params, jax.jit(model.backbone)(
+        params, x))
+    qmodel = MaskRCNN(qcfg)
+    s_q, _ = jax.jit(qmodel.rpn_scores)(
+        qparams, jax.jit(qmodel.backbone)(qparams, x))
+    corr = np.corrcoef(np.asarray(s_f).ravel(), np.asarray(s_q).ravel())
+    assert corr[0, 1] > 0.99, corr[0, 1]
