@@ -201,6 +201,7 @@ if __name__ == "__main__":
             value_q, batch_q = 0.0, 0
     else:
         value_q, batch_q = value_bf16, batch_bf16
+        value_bf16 = 0.0  # overrides forced int8; no bf16 run happened
     if value_q > value_bf16:
         value, batch, cfg_name = value_q, batch_q, "int8-ptq"
     else:

@@ -8,7 +8,7 @@ meaningless through the dev tunnel). Differences between consecutive
 prefixes attribute device time to each stage — this is the optimization
 worklist for Pallas kernels.
 
-    python benchmarks/breakdown.py [batch] [iters]
+    python benchmarks/breakdown.py [batch] [iters] [config-overrides-json]
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 
-def main(batch: int = 8, iters: int = 8):
+def main(batch: int = 8, iters: int = 8, overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -42,11 +42,21 @@ def main(batch: int = 8, iters: int = 8):
     from maskrcnn_tpu.ops.image import normalize_image
     from maskrcnn_tpu.ops.mask_paste import paste_masks_chunked
 
-    config = CocoInferenceConfig()
+    config = CocoInferenceConfig(**(overrides or {}))
     model = MaskRCNN(config)
-    params = jax.device_put(model.init(jax.random.PRNGKey(0)))
+    params = model.init(jax.random.PRNGKey(0))
     h, w = config.IMAGE_SHAPE[:2]
     rng = np.random.RandomState(0)
+    if config.QUANT_INT8:
+        from maskrcnn_tpu.quant import prepare_quant_params
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy[..., None] * 255 // (h - 1)
+                + xx[..., None] * 255 // (w - 1)) // 2
+        calib = np.stack([
+            np.clip(base + rng.randint(-60, 60, (h, w, 3)), 0, 255)
+            for _ in range(2)]).astype(np.uint8)
+        params = prepare_quant_params(model, params, calib, batch_size=2)
+    params = jax.device_put(params)
     images = jax.device_put(
         rng.randint(0, 200, (batch, h, w, 3)).astype(np.uint8))
     windows = jax.device_put(
@@ -151,6 +161,8 @@ def main(batch: int = 8, iters: int = 8):
 
 
 if __name__ == "__main__":
+    import json
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     it = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    main(b, it)
+    ov = json.loads(sys.argv[3]) if len(sys.argv) > 3 else None
+    main(b, it, ov)

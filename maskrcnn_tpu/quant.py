@@ -271,6 +271,11 @@ def prepare_quant_params(model, params: Params,
     """
     calib_images = np.asarray(calib_images)
     assert calib_images.ndim == 4 and calib_images.shape[0] >= 1
+    want = tuple(model.config.IMAGE_SHAPE[:2])
+    got = calib_images.shape[1:3]
+    assert got == want, (
+        f"calib canvases are {got}, config.IMAGE_SHAPE wants {want} — "
+        "resize+pad calibration frames exactly like inference inputs")
     folded = fold_bn_params(params["fpn"])
     step = jax.jit(functools.partial(_calib_step, model))
 
