@@ -46,15 +46,19 @@ class Detector:
     """Stateful convenience wrapper around the pure pipeline."""
 
     def __init__(self, config: Config, params=None, rng_seed: int = 0,
-                 calib_images=None):
+                 calib_images=None, calib_stats_path=None):
         """calib_images: [N, H, W, 3] uint8 canvases used to calibrate
         activation scales when config.QUANT_INT8 is set; pass a handful
         of representative frames (resized+padded to IMAGE_SHAPE). When
         omitted, synthetic gradient canvases are used — fine for
-        benchmarking, but real frames give tighter scales."""
+        benchmarking, but real frames give tighter scales.
+        calib_stats_path: optional JSON path persisting the calibration
+        stats across restarts — loaded if it exists (skipping the
+        calibration forward), written after calibrating otherwise."""
         self.config = config
         self.model = MaskRCNN(config)
         self._calib_images = calib_images
+        self._calib_stats_path = calib_stats_path
         # batch-sharded eval sweeps over a dp mesh (SURVEY section 2.3):
         # with NUM_DEVICES > 1 each detect_batch shards its images over
         # the mesh and XLA runs them in parallel
@@ -90,11 +94,25 @@ class Detector:
             from maskrcnn_tpu.checkpoint.fold import fold_bn_params
             params = fold_bn_params(params)
         if self.config.QUANT_INT8:
-            from maskrcnn_tpu.quant import prepare_quant_params
-            calib = self._calib_images
-            if calib is None:
-                calib = self._default_calib_images()
-            params = prepare_quant_params(self.model, params, calib)
+            import json
+            import os
+
+            from maskrcnn_tpu.quant import calibrate, prepare_quant_params
+            stats = None
+            path = self._calib_stats_path
+            if path and os.path.exists(path):
+                with open(path) as f:
+                    stats = json.load(f)
+            if stats is None:
+                calib = self._calib_images
+                if calib is None:
+                    calib = self._default_calib_images()
+                stats = calibrate(self.model, params, calib)
+                if path:
+                    with open(path, "w") as f:
+                        json.dump(stats, f)
+            params = prepare_quant_params(self.model, params,
+                                          act_stats=stats)
         if self._mesh is not None:
             from maskrcnn_tpu.parallel import replicate
             params = replicate(params, self._mesh)

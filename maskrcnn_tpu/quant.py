@@ -255,20 +255,12 @@ def _calib_step(model, folded_fpn: Params, rpn_params: Params,
     return ctx.stats
 
 
-def prepare_quant_params(model, params: Params,
-                         calib_images: np.ndarray,
-                         batch_size: int = 4) -> Params:
-    """Calibrate + quantize. Returns the inference param tree for a
-    `Config.QUANT_INT8=True` pipeline.
-
-    calib_images: [N, H, W, 3] uint8 resized+padded canvases (the same
-    distribution `predict_step` will see). A handful of representative
-    frames is enough for per-tensor amax calibration.
-
-    The returned tree keeps the float box/mask heads and RPN 1x1s and
-    REPLACES the float fpn subtree with the quantized one (int8 kernels
-    are 4x smaller in HBM than f32).
-    """
+def calibrate(model, params: Params, calib_images: np.ndarray,
+              batch_size: int = 4) -> Dict[str, float]:
+    """Run the float model over calibration canvases; return per-tensor
+    activation amax stats {path: float}. JSON-serializable, so serving
+    deployments can persist them (see prepare_quant_params' act_stats)
+    instead of re-running calibration at every startup."""
     calib_images = np.asarray(calib_images)
     assert calib_images.ndim == 4 and calib_images.shape[0] >= 1
     want = tuple(model.config.IMAGE_SHAPE[:2])
@@ -278,15 +270,41 @@ def prepare_quant_params(model, params: Params,
         "resize+pad calibration frames exactly like inference inputs")
     folded = fold_bn_params(params["fpn"])
     step = jax.jit(functools.partial(_calib_step, model))
-
     stats: Dict[str, float] = {}
     for i in range(0, calib_images.shape[0], batch_size):
         batch = jnp.asarray(calib_images[i:i + batch_size])
-        got = jax.device_get(step(folded, params["rpn"], batch))
-        for k, v in got.items():
+        out = jax.device_get(step(folded, params["rpn"], batch))
+        for k, v in out.items():
             stats[k] = max(stats.get(k, 0.0), float(v))
+    return stats
 
-    acts = {k: jnp.float32(max(v, 1e-6) / 127.0) for k, v in stats.items()}
+
+def prepare_quant_params(model, params: Params,
+                         calib_images: Optional[np.ndarray] = None,
+                         batch_size: int = 4,
+                         act_stats: Optional[Dict[str, float]] = None
+                         ) -> Params:
+    """Calibrate + quantize. Returns the inference param tree for a
+    `Config.QUANT_INT8=True` pipeline.
+
+    calib_images: [N, H, W, 3] uint8 resized+padded canvases (the same
+    distribution `predict_step` will see). A handful of representative
+    frames is enough for per-tensor amax calibration. Alternatively
+    pass `act_stats` (the dict `calibrate` returns, e.g. loaded from a
+    JSON persisted at a previous startup) to skip the calibration
+    forward entirely.
+
+    The returned tree keeps the float box/mask heads and RPN 1x1s and
+    REPLACES the float fpn subtree with the quantized one (int8 kernels
+    are 4x smaller in HBM than f32).
+    """
+    if act_stats is None:
+        assert calib_images is not None, \
+            "pass calib_images or precomputed act_stats"
+        act_stats = calibrate(model, params, calib_images, batch_size)
+    folded = fold_bn_params(params["fpn"])
+    acts = {k: jnp.float32(max(v, 1e-6) / 127.0)
+            for k, v in act_stats.items()}
     convs = {p: _quantize_kernel(_get(folded, p)) for p in _conv_paths(
         model.config)}
     convs["rpn/conv_shared"] = _quantize_kernel(

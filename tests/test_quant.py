@@ -119,3 +119,22 @@ def test_quant_predict_step_detections_agree(setup):
         qparams, jax.jit(qmodel.backbone)(qparams, x))
     corr = np.corrcoef(np.asarray(s_f).ravel(), np.asarray(s_q).ravel())
     assert corr[0, 1] > 0.99, corr[0, 1]
+
+
+def test_calib_stats_roundtrip(setup, tmp_path):
+    """Persisted calibration stats reproduce the quantized tree exactly
+    (the serving restart path: Detector(calib_stats_path=...))."""
+    import json
+
+    cfg, model, params, imgs = setup
+    stats = quant.calibrate(model, params, imgs)
+    p = tmp_path / "calib.json"
+    p.write_text(json.dumps(stats))
+    loaded = json.loads(p.read_text())
+    q1 = quant.prepare_quant_params(model, params, imgs)
+    q2 = quant.prepare_quant_params(model, params, act_stats=loaded)
+    a1 = jax.device_get(q1["quant"]["acts"])
+    a2 = jax.device_get(q2["quant"]["acts"])
+    assert set(a1) == set(a2)
+    for k in a1:
+        np.testing.assert_allclose(a1[k], a2[k], rtol=1e-6)
