@@ -98,11 +98,20 @@ class Detector:
             import os
 
             from maskrcnn_tpu.quant import calibrate, prepare_quant_params
+
+            # stats are only valid for the weights they were calibrated
+            # on — fingerprint the params so a cache written before
+            # load_weights() is never reused for the loaded checkpoint
+            fp = float(np.sum(np.abs(np.asarray(
+                params["rpn"]["conv_shared"]["kernel"], np.float64))))
             stats = None
             path = self._calib_stats_path
             if path and os.path.exists(path):
                 with open(path) as f:
-                    stats = json.load(f)
+                    blob = json.load(f)
+                if abs(blob.get("_fingerprint", np.nan) - fp) \
+                        <= 1e-6 * max(abs(fp), 1.0):
+                    stats = blob["stats"]
             if stats is None:
                 calib = self._calib_images
                 if calib is None:
@@ -110,7 +119,7 @@ class Detector:
                 stats = calibrate(self.model, params, calib)
                 if path:
                     with open(path, "w") as f:
-                        json.dump(stats, f)
+                        json.dump({"_fingerprint": fp, "stats": stats}, f)
             params = prepare_quant_params(self.model, params,
                                           act_stats=stats)
         if self._mesh is not None:

@@ -138,3 +138,31 @@ def test_calib_stats_roundtrip(setup, tmp_path):
     assert set(a1) == set(a2)
     for k in a1:
         np.testing.assert_allclose(a1[k], a2[k], rtol=1e-6)
+
+
+def test_calib_cache_invalidated_on_different_weights(setup, tmp_path):
+    """A persisted stats file calibrated on one set of weights must not
+    be reused for different weights (the init-then-load_weights flow)."""
+    import json
+
+    from maskrcnn_tpu.api import Detector
+
+    cfg, model, params, imgs = setup
+    qcfg = cfg.replace(QUANT_INT8=True)
+    path = str(tmp_path / "calib.json")
+    Detector(qcfg, params=jax.device_get(params), calib_images=imgs,
+             calib_stats_path=path)
+    blob1 = json.loads(open(path).read())
+
+    params2 = model.init(jax.random.PRNGKey(7))   # different weights
+    Detector(qcfg, params=jax.device_get(params2), calib_images=imgs,
+             calib_stats_path=path)
+    blob2 = json.loads(open(path).read())
+    assert blob1["_fingerprint"] != blob2["_fingerprint"]
+    assert blob1["stats"] != blob2["stats"]
+
+    # same weights again -> cache hit, file untouched
+    mtime = __import__("os").path.getmtime(path)
+    Detector(qcfg, params=jax.device_get(params2), calib_images=imgs,
+             calib_stats_path=path)
+    assert __import__("os").path.getmtime(path) == mtime

@@ -92,6 +92,12 @@ def main():
     ap.add_argument("--max-delay-ms", type=float, default=10.0)
     ap.add_argument("--tiny", action="store_true",
                     help="TinyConfig (CPU smoke/serving tests)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-PTQ backbone/RPN (quant.py; ~1.2x "
+                         "throughput, accuracy gates in BENCHMARKS.md)")
+    ap.add_argument("--calib-stats", default=None,
+                    help="JSON path persisting int8 calibration stats "
+                         "across restarts (written on first launch)")
     args = ap.parse_args()
 
     from http.server import ThreadingHTTPServer
@@ -103,12 +109,20 @@ def main():
     from maskrcnn_tpu.utils.profiler import enable_compile_cache
 
     enable_compile_cache()
+    if args.tiny:
+        # CPU smoke mode: the axon TPU plugin force-registers itself and
+        # ignores the JAX_PLATFORMS env var; pin via config (same as
+        # tests/conftest.py)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     # DEVICE_RESIZE: serving ships raw pixels h2d and resizes on the
     # MXU (ops/image.batched_resize_pad); downscale images still take
     # the host PIL path automatically.
     config = TinyConfig(DETECTION_MIN_CONFIDENCE=0.0) if args.tiny \
         else CocoInferenceConfig(DEVICE_RESIZE=True)
-    det = Detector(config)
+    if args.int8:
+        config = config.replace(QUANT_INT8=True)
+    det = Detector(config, calib_stats_path=args.calib_stats)
     if os.path.exists(args.model):
         det.load_weights(args.model)
         print(f"loaded {args.model}")
