@@ -178,6 +178,12 @@ class RetinaNet:
             scales, self.config.RPN_ANCHOR_RATIOS, shapes, strides, 1)
 
     def forward(self, params, images):
+        if self.config.QUANT_INT8 and "quant" in params:
+            # int8-PTQ inference twin (quant.prepare_retina_quant_params)
+            from maskrcnn_tpu import quant
+            return quant.retina_quant_forward(
+                self.config, params["quant"], params["head"], images,
+                self.fpn.num_blocks)
         feats = self.fpn.apply({"params": params["fpn"]}, images)
         outs = [self.head.apply({"params": params["head"]}, f)
                 for f in feats]

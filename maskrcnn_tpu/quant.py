@@ -339,3 +339,208 @@ def quant_rpn_scores(config: Config, quant_tree: Params,
     ctx = _Ctx(mode="int8", dtype=jnp.dtype(config.COMPUTE_DTYPE),
                tree=quant_tree)
     return rpn_scores_forward(config, ctx, rpn_params, feats)
+
+
+# ---------------------------------------------------------------------
+# RetinaNet variant (models/retina_fpn.py; reference fpn/retina_fpn.py)
+# ---------------------------------------------------------------------
+
+def _fold_retina_tree(fpn_params: Params, num_blocks) -> Params:
+    """Fold FrozenBatchNorm into the retina convs (bias-free convs get a
+    synthesized bias = BN offset). Returns a nested {kernel, bias} tree;
+    BN-less convs (conv6/conv7/toplayer/latlayers/smooths) pass through.
+
+    Unlike checkpoint.fold.fold_bn_params this changes the tree shape
+    (adds biases), so it lives here: the quant tree is its own format.
+    """
+    def fold_pair(conv: Params, bn: Params) -> Params:
+        scale = np.asarray(bn["weight"], np.float64) / np.sqrt(
+            np.asarray(bn["running_var"], np.float64) + 1e-3)
+        offset = (np.asarray(bn["bias"], np.float64)
+                  - np.asarray(bn["running_mean"], np.float64) * scale)
+        k = np.asarray(conv["kernel"], np.float64) * scale
+        return {"kernel": jnp.asarray(k.astype(np.float32)),
+                "bias": jnp.asarray(offset.astype(np.float32))}
+
+    out: Params = {"conv1": fold_pair(fpn_params["conv1"],
+                                      fpn_params["bn1"])}
+    for li, (layer, n) in enumerate(zip(
+            ("layer2", "layer3", "layer4", "layer5"), num_blocks)):
+        for b in range(n):
+            blk = fpn_params[f"{layer}_block{b}"]
+            e = {f"conv{j}": fold_pair(blk[f"conv{j}"], blk[f"bn{j}"])
+                 for j in (1, 2, 3)}
+            if "shortcut_conv" in blk:
+                e["shortcut_conv"] = fold_pair(blk["shortcut_conv"],
+                                               blk["shortcut_bn"])
+            out[f"{layer}_block{b}"] = e
+    for name in ("conv6", "conv7", "toplayer", "latlayer1", "latlayer2",
+                 "smooth1", "smooth2"):
+        p = fpn_params[name]
+        out[name] = {"kernel": jnp.asarray(np.asarray(p["kernel"],
+                                                      np.float32)),
+                     "bias": jnp.asarray(np.asarray(p["bias"],
+                                                    np.float32))}
+    return out
+
+
+def _retina_block(ctx: _Ctx, path: str, x, stride: int):
+    """models/retina_fpn.py RetinaBottleneck with folded BN (note the
+    stride sits on the 3x3 conv2, unlike the main model)."""
+    has_short = (ctx.fp is not None and "shortcut_conv" in _get(
+        ctx.fp, path)) or (ctx.tree is not None and
+                           f"{path}/shortcut_conv" in ctx.tree["convs"])
+    xq = ctx.qt(f"{path}/in", x)
+    o = ctx.conv(f"{path}/conv1", xq, relu=True)
+    o = ctx.conv(f"{path}/conv2", ctx.qt(f"{path}/a1", o),
+                 strides=(stride, stride), padding=((1, 1), (1, 1)),
+                 relu=True)
+    o = ctx.conv(f"{path}/conv3", ctx.qt(f"{path}/a2", o))
+    if has_short:
+        residual = ctx.conv(f"{path}/shortcut_conv", xq,
+                            strides=(stride, stride))
+    else:
+        residual = x
+    return jax.nn.relu(o + residual)
+
+
+def retina_fpn_forward(config: Config, ctx: _Ctx, x: jnp.ndarray,
+                       num_blocks=(2, 2, 2, 2)):
+    """RetinaFPN P3..P7, calib/int8 dual-mode (retina_fpn.py:74-117)."""
+    from maskrcnn_tpu.models.retina_fpn import bilinear_resize_2x
+
+    x = jax.nn.relu(ctx.float_conv(_stem_entry_retina(ctx), x,
+                                   strides=(2, 2),
+                                   padding=((3, 3), (3, 3))))
+    c1 = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+    def stage(x, layer, planes, n, stride):
+        x = _retina_block(ctx, f"{layer}_block0", x, stride)
+        for i in range(1, n):
+            x = _retina_block(ctx, f"{layer}_block{i}", x, 1)
+        return x
+
+    c2 = stage(c1, "layer2", 64, num_blocks[0], 1)
+    c3 = stage(c2, "layer3", 128, num_blocks[1], 2)
+    c4 = stage(c3, "layer4", 256, num_blocks[2], 2)
+    c5 = stage(c4, "layer5", 512, num_blocks[3], 2)
+
+    pad = ((1, 1), (1, 1))
+    p6 = ctx.conv("conv6", ctx.qt("c5_for_p6", c5), strides=(2, 2),
+                  padding=pad)
+    p7 = ctx.conv("conv7", ctx.qt("p6_relu", jax.nn.relu(p6)),
+                  strides=(2, 2), padding=pad)
+    p5 = ctx.conv("toplayer", ctx.qt("c5_top", c5))
+    lat4 = ctx.conv("latlayer1", ctx.qt("c4_lat", c4))
+    p4 = bilinear_resize_2x(p5, lat4.shape[1], lat4.shape[2]) + lat4
+    lat3 = ctx.conv("latlayer2", ctx.qt("c3_lat", c3))
+    p3 = bilinear_resize_2x(p4, lat3.shape[1], lat3.shape[2]) + lat3
+    p4 = ctx.conv("smooth1", ctx.qt("p4_pre", p4), padding=pad)
+    p3 = ctx.conv("smooth2", ctx.qt("p3_pre", p3), padding=pad)
+    return [p3, p4, p5, p6, p7]
+
+
+def _stem_entry_retina(ctx: _Ctx) -> Params:
+    if ctx.mode == "calib":
+        return _get(ctx.fp, "conv1")
+    return ctx.tree["stem"]
+
+
+def retina_head_forward(config: Config, ctx: _Ctx, head_params: Params,
+                        feats):
+    """Shared dense class+box towers (retina_fpn.py:120-144): the 8
+    tower convs quantize with per-(layer, level) input scales; the
+    cls_out/box_out logit convs stay float."""
+    a = len(config.RPN_ANCHOR_RATIOS)
+    k = config.NUM_CLASSES
+    pad = ((1, 1), (1, 1))
+    cls_l, box_l = [], []
+    for l, f in enumerate(feats):
+        cls = box = f
+        for i in range(4):
+            cls = ctx.conv(f"head/cls{i}", ctx.qt(f"head/cls{i}/P{l}",
+                                                  cls),
+                           padding=pad, relu=True,
+                           fp_override=head_params[f"cls{i}"])
+            box = ctx.conv(f"head/box{i}", ctx.qt(f"head/box{i}/P{l}",
+                                                  box),
+                           padding=pad, relu=True,
+                           fp_override=head_params[f"box{i}"])
+        cls = ctx.float_conv(head_params["cls_out"], cls, padding=pad)
+        box = ctx.float_conv(head_params["box_out"], box, padding=pad)
+        b = f.shape[0]
+        cls_l.append(cls.reshape(b, -1, k).astype(jnp.float32))
+        box_l.append(box.reshape(b, -1, 4).astype(jnp.float32))
+    return (jnp.concatenate(cls_l, axis=1),
+            jnp.concatenate(box_l, axis=1))
+
+
+def _retina_conv_paths(num_blocks):
+    paths = []
+    for layer, n in zip(("layer2", "layer3", "layer4", "layer5"),
+                        num_blocks):
+        for b in range(n):
+            base = f"{layer}_block{b}"
+            paths += [f"{base}/conv{j}" for j in (1, 2, 3)]
+            if b == 0:
+                paths.append(f"{base}/shortcut_conv")
+    paths += ["conv6", "conv7", "toplayer", "latlayer1", "latlayer2",
+              "smooth1", "smooth2"]
+    return paths
+
+
+def _retina_calib_step(net, folded: Params, head_params: Params,
+                       images: jnp.ndarray):
+    cfg = net.config
+    ctx = _Ctx(mode="calib", dtype=jnp.dtype(cfg.COMPUTE_DTYPE),
+               fp=folded)
+    x = normalize_image(images, cfg.MEAN_PIXEL)
+    feats = retina_fpn_forward(cfg, ctx, x, net.fpn.num_blocks)
+    retina_head_forward(cfg, ctx, head_params, feats)
+    return ctx.stats
+
+
+def prepare_retina_quant_params(net, params: Params,
+                                calib_images: Optional[np.ndarray] = None,
+                                batch_size: int = 4,
+                                act_stats=None) -> Params:
+    """RetinaNet analog of prepare_quant_params. `net` is a
+    models.retina_fpn.RetinaNet; returns the QUANT_INT8 param tree."""
+    cfg = net.config
+    folded = _fold_retina_tree(params["fpn"], net.fpn.num_blocks)
+    if act_stats is None:
+        calib_images = np.asarray(calib_images)
+        want = tuple(cfg.IMAGE_SHAPE[:2])
+        assert calib_images.shape[1:3] == want, (
+            calib_images.shape, want)
+        step = jax.jit(functools.partial(_retina_calib_step, net))
+        act_stats = {}
+        for i in range(0, calib_images.shape[0], batch_size):
+            batch = jnp.asarray(calib_images[i:i + batch_size])
+            got = jax.device_get(step(folded, params["head"], batch))
+            for kk, v in got.items():
+                act_stats[kk] = max(act_stats.get(kk, 0.0), float(v))
+    acts = {kk: jnp.float32(max(v, 1e-6) / 127.0)
+            for kk, v in act_stats.items()}
+    convs = {p: _quantize_kernel(_get(folded, p))
+             for p in _retina_conv_paths(net.fpn.num_blocks)}
+    for i in range(4):
+        convs[f"head/cls{i}"] = _quantize_kernel(params["head"][f"cls{i}"])
+        convs[f"head/box{i}"] = _quantize_kernel(params["head"][f"box{i}"])
+    stem = folded["conv1"]
+    return {
+        "quant": {"convs": convs, "acts": acts,
+                  "stem": {"kernel": stem["kernel"],
+                           "bias": stem["bias"]}},
+        "head": params["head"],
+    }
+
+
+def retina_quant_forward(config: Config, quant_tree: Params,
+                         head_params: Params, images: jnp.ndarray,
+                         num_blocks=(2, 2, 2, 2)):
+    """int8 logits/deltas: RetinaNet.forward's quantized twin."""
+    ctx = _Ctx(mode="int8", dtype=jnp.dtype(config.COMPUTE_DTYPE),
+               tree=quant_tree)
+    feats = retina_fpn_forward(config, ctx, images, num_blocks)
+    return retina_head_forward(config, ctx, head_params, feats)

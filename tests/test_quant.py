@@ -8,6 +8,7 @@ end-to-end predict_step smoke. Reference behavior being reproduced:
 model.py:174-270 (ResNet), 97-168 (FPN), 582-649 (RPN).
 """
 
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -166,3 +167,87 @@ def test_calib_cache_invalidated_on_different_weights(setup, tmp_path):
     Detector(qcfg, params=jax.device_get(params2), calib_images=imgs,
              calib_stats_path=path)
     assert __import__("os").path.getmtime(path) == mtime
+
+
+def test_quant_with_dp_mesh(setup):
+    """QUANT_INT8 composes with the data-parallel mesh: the quantized
+    tree replicates and the batch-sharded predict runs."""
+    from maskrcnn_tpu.api import Detector
+
+    cfg, model, params, imgs = setup
+    qcfg = cfg.replace(QUANT_INT8=True, NUM_DEVICES=4)
+    det = Detector(qcfg, params=jax.device_get(params), calib_images=imgs)
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (100, 120, 3), np.uint8)
+              for _ in range(6)]
+    out = det.detect_batch(frames)
+    assert len(out) == 6
+
+
+class TestRetinaQuant:
+    """int8 PTQ for the RetinaNet variant (quant.py retina_* section).
+
+    The retina fold synthesizes biases from BN offsets (the flax module
+    has no fold flag), so calib parity is tolerance-based: folding
+    k*scale pre-conv vs applying the affine post-conv reorders float
+    rounding. The structural guarantee still holds — one traversal
+    serves both modes.
+    """
+
+    @pytest.fixture(scope="class")
+    def rsetup(self):
+        from maskrcnn_tpu.models.retina_fpn import RetinaNet
+        cfg = TinyConfig()
+        net = RetinaNet(cfg)
+        params = jax.device_get(jax.jit(net.init)(jax.random.PRNGKey(0)))
+        rng = np.random.RandomState(1)
+        yy, xx = np.mgrid[0:128, 0:128]
+        base = (yy[..., None] + xx[..., None]) % 256
+        imgs = np.clip(np.stack([
+            base + rng.randint(0, 80, (128, 128, 3)),
+            255 - base + rng.randint(0, 80, (128, 128, 3))]),
+            0, 255).astype(np.uint8)
+        return cfg, net, params, imgs
+
+    def test_calib_matches_flax(self, rsetup):
+        cfg, net, params, imgs = rsetup
+        x = normalize_image(jnp.asarray(imgs), cfg.MEAN_PIXEL)
+        want_lg, want_dl = jax.jit(net.forward)(params, x)
+
+        folded = quant._fold_retina_tree(params["fpn"],
+                                         net.fpn.num_blocks)
+        dt = jnp.dtype(cfg.COMPUTE_DTYPE)
+
+        def calib_fwd(folded, head, x):
+            ctx = quant._Ctx(mode="calib", dtype=dt, fp=folded)
+            feats = quant.retina_fpn_forward(cfg, ctx, x,
+                                             net.fpn.num_blocks)
+            return quant.retina_head_forward(cfg, ctx, head, feats)
+
+        got_lg, got_dl = jax.jit(calib_fwd)(folded, params["head"], x)
+        np.testing.assert_allclose(np.asarray(want_lg),
+                                   np.asarray(got_lg),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(want_dl),
+                                   np.asarray(got_dl),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_int8_close_and_detect_smoke(self, rsetup):
+        cfg, net, params, imgs = rsetup
+        qparams = quant.prepare_retina_quant_params(net, params, imgs)
+        x = normalize_image(jnp.asarray(imgs), cfg.MEAN_PIXEL)
+        lg_f, dl_f = jax.jit(net.forward)(params, x)
+        lg_q, dl_q = jax.jit(functools.partial(
+            quant.retina_quant_forward, cfg,
+            num_blocks=net.fpn.num_blocks))(
+                qparams["quant"], qparams["head"], x)
+        corr = np.corrcoef(np.asarray(lg_f).ravel(),
+                           np.asarray(lg_q).ravel())[0, 1]
+        assert corr > 0.99, corr
+
+        # routed end-to-end one-stage detect
+        from maskrcnn_tpu.models.retina_fpn import RetinaNet
+        qnet = RetinaNet(cfg.replace(QUANT_INT8=True))
+        out = qnet.detect(qparams, x)
+        assert out["boxes"].shape[0] == 2
+        assert bool(np.all(np.isfinite(np.asarray(out["scores"]))))
