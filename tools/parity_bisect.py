@@ -163,6 +163,10 @@ def main():
                     help="canvas size override (synthetic: 256)")
     ap.add_argument("--evaluate", action="store_true",
                     help="after bisect, run COCO eval in f32")
+    ap.add_argument("--int8-ab", action="store_true",
+                    help="with --evaluate: additionally eval the "
+                         "QUANT_INT8 pipeline (calibrated on the first "
+                         "eval images) and report the AP delta")
     ap.add_argument("--dataset", default=None)
     args = ap.parse_args()
 
@@ -204,8 +208,26 @@ def main():
         from maskrcnn_tpu.eval.evaluate import evaluate_coco
         det = Detector(config, params=params)
         ds = CocoDataset(args.dataset, "minival", 2014, config)
-        evaluate_coco(det, ds, ds.coco, "bbox", limit=args.limit)
-        evaluate_coco(det, ds, ds.coco, "segm", limit=args.limit)
+        bbox = evaluate_coco(det, ds, ds.coco, "bbox", limit=args.limit)
+        segm = evaluate_coco(det, ds, ds.coco, "segm", limit=args.limit)
+
+        if args.int8_ab:
+            # quantized A/B (ROADMAP item 1): calibrate on real frames
+            # from the eval set, re-run both metrics, report deltas
+            ids = ds.ids[:min(32, len(ds.ids))]
+            calib = np.stack([
+                resize_image(ds.load_image(i), config.IMAGE_MIN_DIM,
+                             config.IMAGE_MAX_DIM)[0] for i in ids])
+            qdet = Detector(config.replace(QUANT_INT8=True),
+                            params=params, calib_images=calib)
+            qbbox = evaluate_coco(qdet, ds, ds.coco, "bbox",
+                                  limit=args.limit)
+            qsegm = evaluate_coco(qdet, ds, ds.coco, "segm",
+                                  limit=args.limit)
+            print(f"int8 AP delta: bbox {qbbox[0] - bbox[0]:+.4f} "
+                  f"(AP50 {qbbox[1] - bbox[1]:+.4f}), "
+                  f"segm {qsegm[0] - segm[0]:+.4f} "
+                  f"(AP50 {qsegm[1] - segm[1]:+.4f})")
 
 
 if __name__ == "__main__":
