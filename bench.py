@@ -71,13 +71,9 @@ def bench(batch_sizes=(48, 32, 8, 1), iters: int = 8, overrides=None):
     rng = np.random.RandomState(0)
 
     if config.QUANT_INT8:
-        from maskrcnn_tpu.quant import prepare_quant_params
-        yy, xx = np.mgrid[0:h, 0:w]
-        base = (yy[..., None] * 255 // (h - 1)
-                + xx[..., None] * 255 // (w - 1)) // 2
-        calib = np.stack([
-            np.clip(base + rng.randint(-60, 60, (h, w, 3)), 0, 255)
-            for _ in range(2)]).astype(np.uint8)
+        from maskrcnn_tpu.quant import (default_calib_canvases,
+                                        prepare_quant_params)
+        calib = default_calib_canvases((h, w), n=2)
         params = prepare_quant_params(model, params, calib, batch_size=2)
     params = jax.device_put(params)
 
@@ -192,16 +188,18 @@ if __name__ == "__main__":
     # backbone + RPN shared conv quantized. Accuracy is gated by
     # tests/test_quant.py (feature cosine >= 0.995) and the trained-AP
     # parity assert in tests/test_learning_ap.py.
-    if not (overrides or {}).get("QUANT_INT8"):
+    if "QUANT_INT8" not in (overrides or {}):
         try:
             q_over = dict(overrides or {}, QUANT_INT8=True)
             value_q, batch_q = bench(overrides=q_over)
         except Exception as e:
             print(f"int8 bench failed: {e}", file=sys.stderr)
             value_q, batch_q = 0.0, 0
-    else:
+    elif overrides.get("QUANT_INT8"):
         value_q, batch_q = value_bf16, batch_bf16
         value_bf16 = 0.0  # overrides forced int8; no bf16 run happened
+    else:
+        value_q, batch_q = 0.0, 0  # explicit bf16-only A/B
     if value_q > value_bf16:
         value, batch, cfg_name = value_q, batch_q, "int8-ptq"
     else:

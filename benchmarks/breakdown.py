@@ -48,13 +48,9 @@ def main(batch: int = 8, iters: int = 8, overrides=None):
     h, w = config.IMAGE_SHAPE[:2]
     rng = np.random.RandomState(0)
     if config.QUANT_INT8:
-        from maskrcnn_tpu.quant import prepare_quant_params
-        yy, xx = np.mgrid[0:h, 0:w]
-        base = (yy[..., None] * 255 // (h - 1)
-                + xx[..., None] * 255 // (w - 1)) // 2
-        calib = np.stack([
-            np.clip(base + rng.randint(-60, 60, (h, w, 3)), 0, 255)
-            for _ in range(2)]).astype(np.uint8)
+        from maskrcnn_tpu.quant import (default_calib_canvases,
+                                        prepare_quant_params)
+        calib = default_calib_canvases((h, w), n=2)
         params = prepare_quant_params(model, params, calib, batch_size=2)
     params = jax.device_put(params)
     images = jax.device_put(

@@ -52,9 +52,11 @@ class Detector:
         of representative frames (resized+padded to IMAGE_SHAPE). When
         omitted, synthetic gradient canvases are used — fine for
         benchmarking, but real frames give tighter scales.
-        calib_stats_path: optional JSON path persisting the calibration
-        stats across restarts — loaded if it exists (skipping the
-        calibration forward), written after calibrating otherwise."""
+        calib_stats_path: optional JSON path persisting calibration
+        stats across restarts, keyed by a weight fingerprint (a map, so
+        stats for several checkpoints coexist) — a fingerprint hit
+        skips the calibration forward; misses calibrate and merge into
+        the file atomically."""
         self.config = config
         self.model = MaskRCNN(config)
         self._calib_images = calib_images
@@ -75,51 +77,76 @@ class Detector:
         # pristine float tree kept as the checkpoint-load template (the
         # prepared tree may be folded/quantized and no longer match)
         self._float_params = params
-        self.params = self._prepare(params)
+        self._prepared = None
 
-    def _default_calib_images(self, n: int = 4):
-        """Synthetic gradient+texture canvases spanning the uint8 range."""
-        ch, cw = int(self.config.IMAGE_SHAPE[0]), int(
-            self.config.IMAGE_SHAPE[1])
-        rng = np.random.RandomState(0)
-        yy, xx = np.mgrid[0:ch, 0:cw]
-        base = ((yy[..., None] * 255 // max(ch - 1, 1))
-                + (xx[..., None] * 255 // max(cw - 1, 1))) // 2
-        imgs = [np.clip(base + rng.randint(-60, 60, (ch, cw, 3)), 0, 255)
-                for _ in range(n)]
-        return np.asarray(imgs, np.uint8)
+    @property
+    def params(self):
+        """Inference param tree, prepared lazily (fold/quantize/
+        replicate) on first use: an init-then-load_weights flow never
+        pays a wasted calibration of the random init weights."""
+        if self._prepared is None:
+            self._prepared = self._prepare(self._float_params)
+        return self._prepared
+
+    def _load_calib_stats(self, path, fp):
+        """Fingerprint-keyed stats map; corrupt/legacy files -> miss."""
+        import json
+        import os
+        if not (path and os.path.exists(path)):
+            return None
+        try:
+            with open(path) as f:
+                blob = json.load(f)
+            return blob.get(fp)
+        except (ValueError, AttributeError):
+            return None
+
+    def _store_calib_stats(self, path, fp, stats):
+        """Merge into the map and write atomically (temp + rename)."""
+        import json
+        import os
+        import tempfile
+        blob = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    loaded = json.load(f)
+                if isinstance(loaded, dict):
+                    blob = {k: v for k, v in loaded.items()
+                            if isinstance(v, dict)}
+            except ValueError:
+                pass
+        blob[fp] = stats
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(
+            os.path.abspath(path)), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(blob, f)
+        os.replace(tmp, path)
 
     def _prepare(self, params):
         if self.config.FOLD_BN:
             from maskrcnn_tpu.checkpoint.fold import fold_bn_params
             params = fold_bn_params(params)
         if self.config.QUANT_INT8:
-            import json
-            import os
-
-            from maskrcnn_tpu.quant import calibrate, prepare_quant_params
+            from maskrcnn_tpu.quant import (calibrate,
+                                            default_calib_canvases,
+                                            params_fingerprint,
+                                            prepare_quant_params)
 
             # stats are only valid for the weights they were calibrated
-            # on — fingerprint the params so a cache written before
-            # load_weights() is never reused for the loaded checkpoint
-            fp = float(np.sum(np.abs(np.asarray(
-                params["rpn"]["conv_shared"]["kernel"], np.float64))))
-            stats = None
+            # on — key the cache by a content fingerprint so stats for
+            # different checkpoints never cross-contaminate
+            fp = params_fingerprint(params)
             path = self._calib_stats_path
-            if path and os.path.exists(path):
-                with open(path) as f:
-                    blob = json.load(f)
-                if abs(blob.get("_fingerprint", np.nan) - fp) \
-                        <= 1e-6 * max(abs(fp), 1.0):
-                    stats = blob["stats"]
+            stats = self._load_calib_stats(path, fp)
             if stats is None:
                 calib = self._calib_images
                 if calib is None:
-                    calib = self._default_calib_images()
+                    calib = default_calib_canvases(
+                        self.config.IMAGE_SHAPE)
                 stats = calibrate(self.model, params, calib)
                 if path:
-                    with open(path, "w") as f:
-                        json.dump({"_fingerprint": fp, "stats": stats}, f)
+                    self._store_calib_stats(path, fp, stats)
             params = prepare_quant_params(self.model, params,
                                           act_stats=stats)
         if self._mesh is not None:
@@ -131,7 +158,7 @@ class Detector:
         from maskrcnn_tpu.checkpoint.store import load_params
         self._float_params = load_params(path, self._float_params,
                                          self.config.BACKBONE)
-        self.params = self._prepare(self._float_params)
+        self._prepared = None  # re-prepared lazily for the new weights
 
     def detect(self, image: np.ndarray):
         """Single image -> (class_ids, scores, boxes, masks) in original

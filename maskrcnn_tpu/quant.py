@@ -117,10 +117,9 @@ def _get(tree: Params, path: str) -> Params:
     return tree
 
 
-def _nearest_up2(x):
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, 2 * h, 2 * w, c)
+# shared with the flax neck — ONE source for the op the bit-exactness
+# guarantee depends on
+from maskrcnn_tpu.models.fpn import nearest_upsample_2x as _nearest_up2
 
 
 def _bottleneck(ctx: _Ctx, path: str, x, stride: int, downsample: bool):
@@ -253,6 +252,43 @@ def _calib_step(model, folded_fpn: Params, rpn_params: Params,
     feats = fpn_forward(cfg, ctx, x)
     rpn_scores_forward(cfg, ctx, rpn_params, feats)
     return ctx.stats
+
+
+def default_calib_canvases(image_shape, n: int = 4,
+                           seed: int = 0) -> np.ndarray:
+    """Synthetic gradient+texture canvases spanning the uint8 range —
+    the shared fallback calibration set (Detector, bench.py,
+    benchmarks/breakdown.py). Fine for benchmarking; real frames give
+    tighter scales."""
+    ch, cw = int(image_shape[0]), int(image_shape[1])
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:ch, 0:cw]
+    base = ((yy[..., None] * 255 // max(ch - 1, 1))
+            + (xx[..., None] * 255 // max(cw - 1, 1))) // 2
+    imgs = [np.clip(base + rng.randint(-60, 60, (ch, cw, 3)), 0, 255)
+            for _ in range(n)]
+    return np.asarray(imgs, np.uint8)
+
+
+def params_fingerprint(params: Params) -> str:
+    """Cheap content fingerprint for calibration-cache keying: per-leaf
+    (sum, sum|x|) over a structured sample of kernels spanning the
+    quantized subgraph (stem, first/last backbone convs, neck, RPN).
+    Sampled rather than whole-tree so it stays cheap when the params
+    live behind a slow device link."""
+    paths = [("fpn", "resnet", "C1_conv", "kernel"),
+             ("fpn", "resnet", "C2", "block0", "conv1", "kernel"),
+             ("fpn", "resnet", "C5", "block2", "conv3", "kernel"),
+             ("fpn", "P2_conv2", "kernel"),
+             ("rpn", "conv_shared", "kernel")]
+    parts = []
+    for p in paths:
+        leaf = params
+        for k in p:
+            leaf = leaf[k]
+        a = np.asarray(leaf, np.float64)
+        parts.append(f"{a.sum():.6e}:{np.abs(a).sum():.6e}")
+    return "|".join(parts)
 
 
 def calibrate(model, params: Params, calib_images: np.ndarray,

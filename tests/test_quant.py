@@ -151,22 +151,36 @@ def test_calib_cache_invalidated_on_different_weights(setup, tmp_path):
     cfg, model, params, imgs = setup
     qcfg = cfg.replace(QUANT_INT8=True)
     path = str(tmp_path / "calib.json")
-    Detector(qcfg, params=jax.device_get(params), calib_images=imgs,
-             calib_stats_path=path)
+    d1 = Detector(qcfg, params=jax.device_get(params), calib_images=imgs,
+                  calib_stats_path=path)
+    d1.params  # lazy: calibration runs on first use
     blob1 = json.loads(open(path).read())
+    assert len(blob1) == 1
 
     params2 = model.init(jax.random.PRNGKey(7))   # different weights
-    Detector(qcfg, params=jax.device_get(params2), calib_images=imgs,
-             calib_stats_path=path)
+    d2 = Detector(qcfg, params=jax.device_get(params2),
+                  calib_images=imgs, calib_stats_path=path)
+    d2.params
     blob2 = json.loads(open(path).read())
-    assert blob1["_fingerprint"] != blob2["_fingerprint"]
-    assert blob1["stats"] != blob2["stats"]
+    # the map keeps BOTH checkpoints' stats under distinct fingerprints
+    assert len(blob2) == 2
+    (k1,) = blob1.keys()
+    assert blob2[k1] == blob1[k1]
 
     # same weights again -> cache hit, file untouched
     mtime = __import__("os").path.getmtime(path)
-    Detector(qcfg, params=jax.device_get(params2), calib_images=imgs,
-             calib_stats_path=path)
+    d3 = Detector(qcfg, params=jax.device_get(params2),
+                  calib_images=imgs, calib_stats_path=path)
+    d3.params
     assert __import__("os").path.getmtime(path) == mtime
+
+    # corrupt file -> treated as a miss, then rewritten atomically
+    with open(path, "w") as f:
+        f.write("{not json")
+    d4 = Detector(qcfg, params=jax.device_get(params2),
+                  calib_images=imgs, calib_stats_path=path)
+    d4.params
+    assert len(json.loads(open(path).read())) == 1
 
 
 def test_quant_with_dp_mesh(setup):
