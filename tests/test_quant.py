@@ -265,3 +265,20 @@ class TestRetinaQuant:
         out = qnet.detect(qparams, x)
         assert out["boxes"].shape[0] == 2
         assert bool(np.all(np.isfinite(np.asarray(out["scores"]))))
+
+
+def test_quant_with_rect_canvas():
+    """QUANT_INT8 composes with IMAGE_CANVAS (the rectangular serving
+    protocol measured at 188.8 img/s on v5e — BENCHMARKS.md): per-axis
+    geometry flows through calibration, quantization, and predict."""
+    cfg = TinyConfig().replace(IMAGE_CANVAS=(64, 128), QUANT_INT8=True)
+    model = MaskRCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    calib = rng.randint(0, 255, (2, 64, 128, 3)).astype(np.uint8)
+    qparams = quant.prepare_quant_params(model, params, calib)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 128, 3), np.uint8))
+    windows = jnp.asarray([[0, 0, 64, 128]] * 2, jnp.float32)
+    out = predict_step(model, qparams, imgs, windows)
+    assert out["masks_packed"].shape[2:] == (64, 128 // 8)
+    assert bool(np.all(np.isfinite(np.asarray(out["scores"]))))
