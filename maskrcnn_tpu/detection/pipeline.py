@@ -171,15 +171,15 @@ def _pool_rois(feature_maps, boxes, pool_size, image_shape,
     return jax.vmap(per_image)(mrn_feats, boxes)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
-                 windows: jnp.ndarray) -> Dict[str, Any]:
-    """Batched end-to-end inference (reference: model.py:1140-1203).
+def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
+                          windows: jnp.ndarray):
+    """Pipeline prefix up to (and including) the mask-head RoIAlign:
+    normalize -> backbone -> RPN -> proposals -> box head -> refine ->
+    mask RoI pool. Returns (det, pooled_m [B, D, 14, 14, C]).
 
-    images: [B, H, W, 3] uint8 (resized+padded canvas).
-    windows: [B, 4] float32 un-padded region per image.
-    Returns dict of padded detection tensors incl. full-image masks.
-    """
+    Split out of predict_step so quant.py can calibrate the mask head's
+    activation scales on the SAME pooled features production will feed
+    it (quant.calibrate_heads)."""
     config = model.config
     h, w = config.IMAGE_SHAPE[:2]
 
@@ -211,9 +211,25 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
     # assumption — identical to [h, w, h, w] when h == w, and the
     # per-axis form stays correct for rectangular IMAGE_CANVAS.
     mask_rois = det.boxes / jnp.asarray([h, w, h, w], jnp.float32)
-    d = mask_rois.shape[1]
     pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
                           config.IMAGE_SHAPE, impl=config.ROI_IMPL)
+    return det, pooled_m
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
+                 windows: jnp.ndarray) -> Dict[str, Any]:
+    """Batched end-to-end inference (reference: model.py:1140-1203).
+
+    images: [B, H, W, 3] uint8 (resized+padded canvas).
+    windows: [B, 4] float32 un-padded region per image.
+    Returns dict of padded detection tensors incl. full-image masks.
+    """
+    config = model.config
+    h, w = config.IMAGE_SHAPE[:2]
+
+    det, pooled_m = detect_and_pool_masks(model, params, images, windows)
+    b, d = pooled_m.shape[:2]
     mask_probs = model.predict_masks(
         params, pooled_m.reshape(b * d, *pooled_m.shape[2:]))
     mask_probs = mask_probs.reshape(b, d, *mask_probs.shape[1:])  # [B,D,28,28,K]

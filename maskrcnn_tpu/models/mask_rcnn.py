@@ -173,7 +173,17 @@ class MaskRCNN:
         return self.box_head.apply({"params": params["box_head"]}, pooled)
 
     def predict_masks(self, params: Params, pooled: jnp.ndarray):
-        """Mask head over pooled [N, 14, 14, 256] (model.py:875-920)."""
+        """Mask head over pooled [N, 14, 14, 256] (model.py:875-920).
+
+        With QUANT_INT8 and a quant tree carrying mask-head entries
+        (prepare_quant_params with head calibration), routes through
+        the int8 conv stack (quant.mask_head_forward); older persisted
+        act_stats without head keys fall back to the float head."""
+        if self.config.QUANT_INT8 and "quant" in params and \
+                "mask_head/conv1" in params["quant"]["convs"]:
+            from maskrcnn_tpu import quant
+            return quant.quant_mask_head(self.config, params["quant"],
+                                         pooled)
         return self.mask_head.apply({"params": params["mask_head"]}, pooled)
 
     def anchors(self) -> np.ndarray:

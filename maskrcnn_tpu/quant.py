@@ -179,6 +179,45 @@ def fpn_forward(config: Config, ctx: _Ctx, x: jnp.ndarray):
     return [p2s, p3s, p4s, p5s, p6]
 
 
+def mask_head_forward(config: Config, ctx: _Ctx, pooled: jnp.ndarray,
+                      fp_mh: Optional[Params] = None) -> jnp.ndarray:
+    """models/heads.py MaskHead with int8 conv1..4 (reference:
+    model.py:848-920). The deconv and the per-class 1x1 stay float:
+    they feed the sigmoid mask probabilities directly (the 0.5 contour
+    is the AP-sensitive surface) and together are <15% of the head's
+    FLOPs. Gate: int8 mask conv stack measured 0.65x bf16 at the
+    production shape (benchmarks/gates/int8_heads_gate.py); the box
+    head measured 1.25x (quantize-on-entry swamps the MXU saving on
+    its bandwidth-heavy [N, 12544] matmul) and stays float.
+
+    pooled: [N, 14, 14, C] float. fp_mh: folded float mask-head tree
+    (calib mode only; int8 mode reads ctx.tree).
+    """
+    pad = ((1, 1), (1, 1))
+    x = pooled.astype(ctx.dtype)
+    for i in range(1, 5):
+        xq = ctx.qt(f"mask_head/a{i - 1}", x)
+        ov = fp_mh[f"conv{i}"] if ctx.mode == "calib" else None
+        x = ctx.conv(f"mask_head/conv{i}", xq, padding=pad, relu=True,
+                     fp_override=ov)
+    fp = fp_mh if ctx.mode == "calib" else ctx.tree["mask_head_fp"]
+    # DeconvK2S2 (models/common.py): matmul + depth-to-space, exact.
+    dk = fp["deconv"]["kernel"].astype(ctx.dtype)       # [2, 2, O, I]
+    y = jnp.einsum("nhwi,aboi->nhawbo", x.astype(ctx.dtype), dk)
+    n, hh, _, ww, _, o = y.shape
+    y = (y.reshape(n, 2 * hh, 2 * ww, o)
+         + fp["deconv"]["bias"].astype(ctx.dtype))
+    y = jax.nn.relu(y)
+    y = jax.lax.conv_general_dilated(
+        y, fp["conv5"]["kernel"].astype(ctx.dtype), (1, 1),
+        ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + fp["conv5"]["bias"].astype(ctx.dtype)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+_MASK_HEAD_ACTS = tuple(f"mask_head/a{i}" for i in range(4))
+
+
 def rpn_scores_forward(config: Config, ctx: _Ctx, rpn_params: Params,
                        feature_maps: Sequence[jnp.ndarray]):
     """models/mask_rcnn.py rpn_scores with a quantized shared conv.
@@ -291,8 +330,26 @@ def params_fingerprint(params: Params) -> str:
     return "|".join(parts)
 
 
+def _calib_heads_step(model, folded_mh: Params, params: Params,
+                      images: jnp.ndarray, windows: jnp.ndarray):
+    """One jitted head-calibration forward: run the FLOAT pipeline
+    prefix to the mask-head RoIAlign (the exact pooled features
+    production feeds the head), then the dual-mode mask head in calib
+    mode. Returns its activation amax stats."""
+    from maskrcnn_tpu.detection.pipeline import detect_and_pool_masks
+
+    cfg = model.config
+    _, pooled_m = detect_and_pool_masks(model, params, images, windows)
+    b, d = pooled_m.shape[:2]
+    ctx = _Ctx(mode="calib", dtype=jnp.dtype(cfg.COMPUTE_DTYPE))
+    mask_head_forward(cfg, ctx,
+                      pooled_m.reshape(b * d, *pooled_m.shape[2:]),
+                      fp_mh=folded_mh)
+    return ctx.stats
+
+
 def calibrate(model, params: Params, calib_images: np.ndarray,
-              batch_size: int = 4) -> Dict[str, float]:
+              batch_size: int = 4, heads: bool = True) -> Dict[str, float]:
     """Run the float model over calibration canvases; return per-tensor
     activation amax stats {path: float}. JSON-serializable, so serving
     deployments can persist them (see prepare_quant_params' act_stats)
@@ -306,10 +363,21 @@ def calibrate(model, params: Params, calib_images: np.ndarray,
         "resize+pad calibration frames exactly like inference inputs")
     folded = fold_bn_params(params["fpn"])
     step = jax.jit(functools.partial(_calib_step, model))
+    if heads:
+        folded_mh = fold_bn_params(params["mask_head"])
+        hstep = jax.jit(functools.partial(_calib_heads_step, model,
+                                          folded_mh))
+        ch, cw = want
+        win = np.tile([[0.0, 0.0, ch, cw]],
+                      (batch_size, 1)).astype(np.float32)
     stats: Dict[str, float] = {}
     for i in range(0, calib_images.shape[0], batch_size):
         batch = jnp.asarray(calib_images[i:i + batch_size])
         out = jax.device_get(step(folded, params["rpn"], batch))
+        if heads:
+            hout = jax.device_get(hstep(
+                params, batch, jnp.asarray(win[:batch.shape[0]])))
+            out = dict(out, **hout)
         for k, v in out.items():
             stats[k] = max(stats.get(k, 0.0), float(v))
     return stats
@@ -354,6 +422,22 @@ def prepare_quant_params(model, params: Params,
                  "bias": jnp.asarray(np.asarray(stem["bias"],
                                                 np.float32))},
     }
+    # Mask head conv1..4 int8 (deconv/conv5 float; see
+    # mask_head_forward). Head activation stats exist only if
+    # calibration ran the heads path; act_stats persisted by an older
+    # deployment may lack them — then the mask head silently stays
+    # float (predict_masks routes by key presence) rather than failing.
+    if all(k in act_stats for k in _MASK_HEAD_ACTS):
+        folded_mh = fold_bn_params(params["mask_head"])
+        for i in (1, 2, 3, 4):
+            convs[f"mask_head/conv{i}"] = _quantize_kernel(
+                folded_mh[f"conv{i}"])
+        quant_tree["mask_head_fp"] = {
+            name: {"kernel": jnp.asarray(np.asarray(
+                       folded_mh[name]["kernel"], np.float32)),
+                   "bias": jnp.asarray(np.asarray(
+                       folded_mh[name]["bias"], np.float32))}
+            for name in ("deconv", "conv5")}
     return {
         "quant": quant_tree,
         "rpn": params["rpn"],
@@ -375,6 +459,13 @@ def quant_rpn_scores(config: Config, quant_tree: Params,
     ctx = _Ctx(mode="int8", dtype=jnp.dtype(config.COMPUTE_DTYPE),
                tree=quant_tree)
     return rpn_scores_forward(config, ctx, rpn_params, feats)
+
+
+def quant_mask_head(config: Config, quant_tree: Params,
+                    pooled: jnp.ndarray) -> jnp.ndarray:
+    ctx = _Ctx(mode="int8", dtype=jnp.dtype(config.COMPUTE_DTYPE),
+               tree=quant_tree)
+    return mask_head_forward(config, ctx, pooled)
 
 
 # ---------------------------------------------------------------------

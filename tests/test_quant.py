@@ -82,7 +82,8 @@ def test_int8_param_tree_shapes(setup):
     qparams = quant.prepare_quant_params(model, params, imgs)
     convs = qparams["quant"]["convs"]
     # resnet50 tiny: 16 bottlenecks x3 + 4 downsamples + 8 fpn + rpn
-    assert len(convs) == 16 * 3 + 4 + 8 + 1
+    # + 4 mask-head convs
+    assert len(convs) == 16 * 3 + 4 + 8 + 1 + 4
     for path, e in convs.items():
         assert e["kernel"].dtype == jnp.int8, path
         assert e["kscale"].shape == (e["kernel"].shape[-1],), path
@@ -120,6 +121,74 @@ def test_quant_predict_step_detections_agree(setup):
         qparams, jax.jit(qmodel.backbone)(qparams, x))
     corr = np.corrcoef(np.asarray(s_f).ravel(), np.asarray(s_q).ravel())
     assert corr[0, 1] > 0.99, corr[0, 1]
+
+
+def test_mask_head_calib_bit_exact(setup):
+    """quant.mask_head_forward's float (calib) mode == the flax
+    MaskHead with FOLD_BN=True on the same folded params."""
+    cfg, model, params, imgs = setup
+    folded_mh = fold_bn_params(params["mask_head"])
+    c_in = params["mask_head"]["conv1"]["kernel"].shape[2]
+    rng = np.random.RandomState(7)
+    pooled = jnp.asarray(
+        rng.randn(12, cfg.MASK_POOL_SIZE, cfg.MASK_POOL_SIZE, c_in)
+        .astype(np.float32))
+    model_fold = MaskRCNN(cfg.replace(FOLD_BN=True))
+    ref = jax.jit(lambda mh, p: model_fold.mask_head.apply(
+        {"params": mh}, p))(folded_mh, pooled)
+    dt = jnp.dtype(cfg.COMPUTE_DTYPE)
+    got = jax.jit(lambda mh, p: quant.mask_head_forward(
+        cfg, quant._Ctx(mode="calib", dtype=dt), p, fp_mh=mh))(
+            folded_mh, pooled)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_int8_mask_head_close_to_float(setup):
+    """int8 mask conv stack vs float head: mask probabilities stay
+    close (they feed the AP-sensitive 0.5 contour)."""
+    cfg, model, params, imgs = setup
+    qparams = quant.prepare_quant_params(model, params, imgs)
+    assert "mask_head/conv1" in qparams["quant"]["convs"]
+    assert "mask_head_fp" in qparams["quant"]
+
+    # real pooled features from the float pipeline on the calib images
+    from maskrcnn_tpu.detection.pipeline import detect_and_pool_masks
+    windows = jnp.asarray([[0, 0, 128, 128]] * 2, jnp.float32)
+    _, pooled_m = jax.jit(
+        lambda p, im, w: detect_and_pool_masks(model, p, im, w))(
+            params, jnp.asarray(imgs), windows)
+    b, d = pooled_m.shape[:2]
+    pooled = pooled_m.reshape(b * d, *pooled_m.shape[2:])
+
+    probs_f = jax.device_get(model.predict_masks(params, pooled))
+    qcfg = cfg.replace(QUANT_INT8=True)
+    probs_q = jax.device_get(jax.jit(
+        lambda qt, p: quant.quant_mask_head(qcfg, qt, p))(
+            qparams["quant"], pooled))
+    assert probs_q.shape == probs_f.shape
+    af, bf = probs_f.ravel(), probs_q.ravel()
+    cos = float(af @ bf / (np.linalg.norm(af) * np.linalg.norm(bf)))
+    assert cos > 0.995, cos
+    # the binarized masks (the quantity COCO eval consumes) agree on
+    # almost all pixels
+    disagree = np.mean((probs_f > 0.5) != (probs_q > 0.5))
+    assert disagree < 0.02, disagree
+
+
+def test_stale_stats_fall_back_to_float_mask_head(setup):
+    """act_stats persisted before head calibration existed (no
+    mask_head keys) must still produce a working tree: backbone int8,
+    mask head float."""
+    cfg, model, params, imgs = setup
+    stats = quant.calibrate(model, params, imgs, heads=False)
+    qparams = quant.prepare_quant_params(model, params, act_stats=stats)
+    assert "mask_head/conv1" not in qparams["quant"]["convs"]
+    assert "mask_head_fp" not in qparams["quant"]
+    qcfg = cfg.replace(QUANT_INT8=True)
+    windows = jnp.asarray([[0, 0, 128, 128]] * 2, jnp.float32)
+    out = jax.device_get(predict_step(
+        MaskRCNN(qcfg), qparams, jnp.asarray(imgs), windows))
+    assert np.isfinite(out["scores"]).all()
 
 
 def test_calib_stats_roundtrip(setup, tmp_path):
