@@ -123,6 +123,15 @@ class Config:
     # and box/mask heads stay in COMPUTE_DTYPE. See BENCHMARKS.md for
     # measured speed/accuracy.
     QUANT_INT8: bool = False
+    # With QUANT_INT8 + the pallas RoIAlign: also feed the RoIAlign
+    # kernel int8 feature tables (re-quantized with the RPN's own
+    # per-level scales, dequantized in-kernel). The kernel is
+    # DMA-bandwidth-bound so this runs it ~0.72x (gates/
+    # int8_roi_dma_gate.py); pooled-feature quantization error equals
+    # the RPN-input quantization the int8 path already carries. Off ->
+    # the kernel DMAs the bf16 maps even when the backbone is int8
+    # (the accuracy-conservative A/B arm for tools/parity_bisect).
+    QUANT_INT8_ROI: bool = True
     # Momentum-buffer dtype for the SGD optimizer ("bfloat16" halves
     # optimizer-state HBM — an HBM-headroom knob, not a speed knob;
     # see train/step.py make_optimizer).

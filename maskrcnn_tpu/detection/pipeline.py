@@ -141,7 +141,7 @@ def mrn_refine(config: Config, proposals: jnp.ndarray,
 
 
 def _pool_rois(feature_maps, boxes, pool_size, image_shape,
-               impl: str = "xla"):
+               impl: str = "xla", quant_scales=None):
     """vmap multilevel RoIAlign over the batch: [B, N, 4] -> [B,N,P,P,C].
 
     impl="pallas" uses the DMA kernel (ops/roi_align_pallas.py) when
@@ -149,8 +149,17 @@ def _pool_rois(feature_maps, boxes, pool_size, image_shape,
     check); inference-only — the kernel has no vjp. impl="auto" routes
     by batch size: the kernel's per-box issue overhead amortizes at
     batch >= 8 (+3% pipeline at b48) but regresses batch-1 latency
-    (22 vs 14 ms, BENCHMARKS.md), so small batches take the XLA
-    patch-gather."""
+    (18 vs 10 ms at b1, re-measured round 3 second pass), so small
+    batches take the XLA patch-gather.
+
+    quant_scales: optional per-level f32 activation scales (P2..P5,
+    the quant tree's rpn/P{i} entries). Pallas path only: the feature
+    tables are re-quantized to int8 with the SAME quantize_tensor
+    subgraph the int8 RPN emits (XLA CSEs the two) and the kernel DMAs
+    half the bytes, dequantizing in-kernel — 0.72x the bf16 kernel time
+    (benchmarks/gates/int8_roi_dma_gate.py). The XLA gather path
+    ignores it (gathers are element-rate bound; int8 tables measured
+    SLOWER there, see BENCHMARKS.md round-3 negative results)."""
     mrn_feats = [f for f in feature_maps[:4]]  # P2..P5 only (model.py:1153)
 
     if impl == "auto":
@@ -162,6 +171,14 @@ def _pool_rois(feature_maps, boxes, pool_size, image_shape,
             PATCH, PATCH_X, batched_multilevel_roi_align_pallas)
         if min(f.shape[1] for f in mrn_feats) >= PATCH and \
                 min(f.shape[2] for f in mrn_feats) >= PATCH_X - 8:
+            if quant_scales is not None:
+                from maskrcnn_tpu.quant import quantize_tensor
+                q_feats = [quantize_tensor(f, s)
+                           for f, s in zip(mrn_feats, quant_scales)]
+                return batched_multilevel_roi_align_pallas(
+                    q_feats, boxes, pool_size, image_shape,
+                    level_scales=quant_scales,
+                    out_dtype=mrn_feats[0].dtype)
             return batched_multilevel_roi_align_pallas(
                 mrn_feats, boxes, pool_size, image_shape)
 
@@ -194,9 +211,19 @@ def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
         lambda s, b: rpn_refine_scores(config, anchors, s, b))(
             rpn_fg, rpn_bbox)
 
+    # int8 RoIAlign feature tables (pallas path only): reuse the quant
+    # tree's per-level RPN input scales so the quantized maps CSE with
+    # the RPN's own
+    q_scales = None
+    if config.QUANT_INT8 and config.QUANT_INT8_ROI and "quant" in params:
+        acts = params["quant"]["acts"]
+        if all(f"rpn/P{i}" in acts for i in range(4)):
+            q_scales = [acts[f"rpn/P{i}"] for i in range(4)]
+
     b, r = proposals.shape[:2]
     pooled = _pool_rois(feats, proposals, config.POOL_SIZE,
-                        config.IMAGE_SHAPE, impl=config.ROI_IMPL)
+                        config.IMAGE_SHAPE, impl=config.ROI_IMPL,
+                        quant_scales=q_scales)
     _, mrn_probs, mrn_deltas = model.classify(
         params, pooled.reshape(b * r, *pooled.shape[2:]))
     mrn_probs = mrn_probs.reshape(b, r, -1)
@@ -212,7 +239,8 @@ def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
     # per-axis form stays correct for rectangular IMAGE_CANVAS.
     mask_rois = det.boxes / jnp.asarray([h, w, h, w], jnp.float32)
     pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
-                          config.IMAGE_SHAPE, impl=config.ROI_IMPL)
+                          config.IMAGE_SHAPE, impl=config.ROI_IMPL,
+                          quant_scales=q_scales)
     return det, pooled_m
 
 

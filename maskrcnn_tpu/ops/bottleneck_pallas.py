@@ -115,7 +115,7 @@ def fused_identity_bottleneck(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
         functools.partial(_kernel, th=th, h=h),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((c, p), lambda bi, ti: (0, 0)),
             pl.BlockSpec((1, p), lambda bi, ti: (0, 0)),
             pl.BlockSpec((9, p, p), lambda bi, ti: (0, 0, 0)),

@@ -53,14 +53,16 @@ PATCH_X = 40
 NBUF = 8         # in-flight patch DMAs
 
 
-def _kernel(rowoff_ref, rowb_ref, colb_ref, fit_ref, iy_ref, ty_ref,
-            vy_ref, ix_ref, tx_ref, vx_ref, table_ref, out_ref,
+def _kernel(rowoff_ref, rowb_ref, colb_ref, fit_ref, scale_ref, iy_ref,
+            ty_ref, vy_ref, ix_ref, tx_ref, vx_ref, table_ref, out_ref,
             bufa, rowbuf, rbuf, sem, semb, *, pool: int):
     """One grid step pools NBLK boxes.
 
     SMEM blocks [1, 1, NBLK]: rowoff (level+image row offset), rowb/colb
     (clamped patch origin: global row / 8-aligned col), fit (1 = patch
-    covers all samples). VMEM blocks [1, 1, NBLK, pool]: iy/ix =
+    covers all samples), scale (f32 per-box dequantization factor —
+    1.0 for float tables; for int8 tables the box's level scale, folded
+    for free into the y-blend's existing vy multiply). VMEM blocks [1, 1, NBLK, pool]: iy/ix =
     LEVEL-coord floor cells (in-level, clipped), ty/tx fractional
     weights, vy/vx in-range flags; the wide path reads its DMA row
     origins from the VMEM iy_ref (rowoff + iy).
@@ -93,7 +95,7 @@ def _kernel(rowoff_ref, rowb_ref, colb_ref, fit_ref, iy_ref, ty_ref,
         xa = colb_ref[0, 0, i]
 
         tyv = ty_ref[0, 0, i]          # [pool] f32 (VMEM vector row)
-        vyv = vy_ref[0, 0, i]
+        vyv = vy_ref[0, 0, i] * scale_ref[0, 0, i]
         txv = tx_ref[0, 0, i]
         vxv = vx_ref[0, 0, i]
         ixv = ix_ref[0, 0, i]
@@ -190,11 +192,21 @@ def _prep(boxes, lvl, heights, widths, row_offsets, pool):
 
 def batched_multilevel_roi_align_pallas(
         features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
-        pool_size: int, image_shape) -> jnp.ndarray:
+        pool_size: int, image_shape,
+        level_scales: Sequence[jnp.ndarray] = None,
+        out_dtype=None) -> jnp.ndarray:
     """Pallas multilevel RoIAlign for a batch.
 
     features: list of [B, H_l, W_l, C] (P2..P5); boxes: [B, N, 4]
-    normalized. Returns [B, N, pool, pool, C] in the feature dtype.
+    normalized. Returns [B, N, pool, pool, C] in the feature dtype
+    (or `out_dtype`).
+
+    level_scales: optional per-level f32 dequantization scales for
+    int8 feature tables (Config.QUANT_INT8 serving path): each pooled
+    value is blend(int8 taps) * scale[level(box)], applied in-kernel.
+    The DMA is bandwidth-bound, so int8 tables run the kernel ~0.72x
+    the bf16 time (benchmarks/gates/int8_roi_dma_gate.py); pass
+    out_dtype (e.g. bf16) with them, since int8 outputs would truncate.
     """
     from maskrcnn_tpu.ops.roi_align import roi_levels
 
@@ -229,6 +241,11 @@ def batched_multilevel_roi_align_pallas(
     row_offsets = img_idx * float(ht) + jnp.asarray(lvl_off)[lvl]
     prep = _prep(flat_boxes, lvl, heights, widths, row_offsets,
                  pool_size)
+    if level_scales is not None:
+        scale = jnp.stack([jnp.asarray(s, jnp.float32)
+                           for s in level_scales])[lvl]      # [M]
+    else:
+        scale = jnp.ones((b * n,), jnp.float32)
 
     m = b * n
     nblk = 32 if pool_size <= 8 else 8
@@ -253,15 +270,16 @@ def batched_multilevel_roi_align_pallas(
         functools.partial(_kernel, pool=pool_size),
         grid=(grid,),
         in_specs=[
-            smem2, smem2, smem2, smem2,
+            smem2, smem2, smem2, smem2, smem2,
             vmem3, vmem3, vmem3, vmem3, vmem3, vmem3,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, nblk, pool_size, pool_size, c),
             lambda g: (g, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (grid, nblk, pool_size, pool_size, c), table.dtype),
+            (grid, nblk, pool_size, pool_size, c),
+            out_dtype or table.dtype),
         scratch_shapes=[
             pltpu.VMEM((NBUF, PATCH, PATCH_X, c), table.dtype),
             pltpu.VMEM((2, 2, w_max_dim, c), table.dtype),
@@ -273,6 +291,7 @@ def batched_multilevel_roi_align_pallas(
       shape2(prep["colb"]),
       # padding slots take the cheap fit path (patch at origin 0)
       shape2(prep["fit"], value=1),
+      shape2(scale),
       shape3(prep["iy"]), shape3(prep["ty"]), shape3(prep["vy"]),
       shape3(prep["ix"]), shape3(prep["tx"]), shape3(prep["vx"]),
       table)

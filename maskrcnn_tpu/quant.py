@@ -56,6 +56,16 @@ class QT(NamedTuple):
     scale: jnp.ndarray
 
 
+def quantize_tensor(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Symmetric per-tensor int8 quantization. ONE shared definition so
+    every emission of the same (x, scale) pair builds the identical
+    subgraph and XLA CSEs them — the RPN's per-level feature quantize
+    and the int8 RoIAlign table (ops/roi_align_pallas) reuse one
+    materialization this way."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / scale)),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
 @dataclasses.dataclass
 class _Ctx:
     """Shared traversal state for the calib (float) / int8 modes."""
@@ -73,9 +83,7 @@ class _Ctx:
             self.stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
             return x
         s = self.tree["acts"][name]
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)),
-                     -127.0, 127.0).astype(jnp.int8)
-        return QT(q, s)
+        return QT(quantize_tensor(x, s), s)
 
     # -- conv --------------------------------------------------------
     def conv(self, path: str, x, strides=(1, 1), padding=((0, 0), (0, 0)),

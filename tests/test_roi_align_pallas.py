@@ -53,6 +53,30 @@ def test_matches_xla_path(rng, pool):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_int8_table_matches_dequantized_xla(rng):
+    """int8 feature tables + in-kernel per-level dequant scales ==
+    the XLA path run on the dequantized features (the int8 RoIAlign
+    serving path, detection/pipeline._pool_rois quant_scales)."""
+    scales = [np.float32(s) for s in (0.021, 0.017, 0.032, 0.009)]
+    q_feats = [jnp.asarray(rng.randint(-127, 128, (2, s, s, 128))
+                           .astype(np.int8))
+               for s in (256, 128, 64, 32)]
+    deq = [f.astype(jnp.float32) * s for f, s in zip(q_feats, scales)]
+    boxes = jnp.asarray(np.stack([_boxes(rng, 24),
+                                  _boxes(rng, 24)[::-1]]))
+    shape = (1024, 1024, 3)
+    got = rap.batched_multilevel_roi_align_pallas(
+        q_feats, boxes, 7, shape, level_scales=scales,
+        out_dtype=jnp.float32)
+    assert got.dtype == jnp.float32
+    for i in range(2):
+        want = multilevel_roi_align([f[i] for f in deq], boxes[i], 7,
+                                    shape)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"image {i}")
+
+
 def test_batched_images_are_independent(rng):
     feats = [jnp.asarray(rng.rand(2, s, s, 128).astype(np.float32))
              for s in (256, 128, 64, 32)]
