@@ -76,9 +76,19 @@ def main(batch: int = 8, iters: int = 8, overrides=None):
                     rpn_fg, rpn_bbox)
             if upto == "proposal_nms":
                 return proposals.sum() + pvalid.sum(dtype=jnp.float32)
+            # mirror detect_and_pool_masks: production ROI impl routing
+            # + int8 feature tables when the quant tree carries scales
+            q_scales = None
+            if config.QUANT_INT8 and config.QUANT_INT8_ROI \
+                    and "quant" in params:
+                acts = params["quant"]["acts"]
+                if all(f"rpn/P{i}" in acts for i in range(4)):
+                    q_scales = [acts[f"rpn/P{i}"] for i in range(4)]
             b, r = proposals.shape[:2]
             pooled = _pool_rois(feats, proposals, config.POOL_SIZE,
-                                config.IMAGE_SHAPE)
+                                config.IMAGE_SHAPE,
+                                impl=config.ROI_IMPL,
+                                quant_scales=q_scales)
             _, probs, deltas = model.classify(
                 params, pooled.reshape(b * r, *pooled.shape[2:]))
             probs = probs.reshape(b, r, -1)
@@ -90,10 +100,13 @@ def main(batch: int = 8, iters: int = 8, overrides=None):
                                             deltas, windows)
             if upto == "mrn_refine":
                 return det.scores.sum() + det.boxes.sum()
-            mask_rois = det.boxes / float(h)
+            mask_rois = det.boxes / jnp.asarray([h, w, h, w],
+                                                jnp.float32)
             dd = mask_rois.shape[1]
             pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
-                                  config.IMAGE_SHAPE)
+                                  config.IMAGE_SHAPE,
+                                  impl=config.ROI_IMPL,
+                                  quant_scales=q_scales)
             mask_probs = model.predict_masks(
                 params, pooled_m.reshape(b * dd, *pooled_m.shape[2:]))
             mask_probs = mask_probs.reshape(b, dd,
