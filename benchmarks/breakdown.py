@@ -38,9 +38,7 @@ def main(batch: int = 8, iters: int = 8, overrides=None):
                                                  predict_step,
                                                  rpn_refine_scores)
     from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
-    from maskrcnn_tpu.ops.bits import pack_masks_device
     from maskrcnn_tpu.ops.image import normalize_image
-    from maskrcnn_tpu.ops.mask_paste import paste_masks_chunked
 
     config = CocoInferenceConfig(**(overrides or {}))
     model = MaskRCNN(config)
@@ -116,13 +114,13 @@ def main(batch: int = 8, iters: int = 8, overrides=None):
             sel = jnp.take_along_axis(
                 mask_probs, det.class_ids[:, :, None, None, None],
                 axis=-1)[..., 0]
-            full = paste_masks_chunked(
-                sel.reshape(-1, 28, 28), det.boxes.reshape(-1, 4), h, w)
-            if upto == "paste":
-                return full.sum(dtype=jnp.float32)
-            # exactly what predict_step returns: valid-masked + bit-packed
-            full = full.reshape(batch, dd, h, w) & det.valid[:, :, None, None]
-            return pack_masks_device(full).sum(dtype=jnp.float32)
+            # exactly what predict_step returns: paste with the valid
+            # mask and bit-pack fused per chunk
+            from maskrcnn_tpu.ops.mask_paste import paste_masks_packed
+            packed = paste_masks_packed(
+                sel.reshape(-1, 28, 28), det.boxes.reshape(-1, 4),
+                det.valid.reshape(-1), h, w)
+            return packed.sum(dtype=jnp.float32)
 
         @jax.jit
         def loop(imgs):
@@ -132,8 +130,9 @@ def main(batch: int = 8, iters: int = 8, overrides=None):
 
         return loop
 
+    # paste+pack is one fused stage now (mask_paste.paste_masks_packed)
     stages = ["backbone", "rpn", "proposal_nms", "box_head",
-              "mrn_refine", "mask_head", "paste", "pack"]
+              "mrn_refine", "mask_head", "paste"]
     prev = 0.0
     print(f"batch={batch} iters={iters}")
     for s in stages:

@@ -27,7 +27,6 @@ from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
 from maskrcnn_tpu.ops import boxes as box_ops
 from maskrcnn_tpu.ops import nms as nms_ops
 from maskrcnn_tpu.ops.image import normalize_image
-from maskrcnn_tpu.ops.mask_paste import paste_masks_chunked
 from maskrcnn_tpu.ops.roi_align import multilevel_roi_align
 
 
@@ -268,20 +267,20 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
     sel = jnp.take_along_axis(
         mask_probs, det.class_ids[:, :, None, None, None], axis=-1)
     sel = sel[..., 0]  # [B, D, 28, 28]
-    full = paste_masks_chunked(
-        sel.reshape(b * d, *sel.shape[2:]),
-        det.boxes.reshape(b * d, 4), h, w).reshape(b, d, h, w)
-    full = full & det.valid[:, :, None, None]
 
-    # Only the bit-packed form leaves the step (1 bit/pixel; unpack with
-    # np.unpackbits or ops.bits.unpack_masks). The unpacked [B,D,H,W]
-    # bool canvas would be ~2.4 GB of output HBM at b48/D=50 and exists
-    # only as pack input, so it is not returned.
-    from maskrcnn_tpu.ops.bits import pack_masks_device
+    # Only the bit-packed form leaves the step (1 bit/pixel; unpack
+    # with np.unpackbits or ops.bits.unpack_masks) — and the pack is
+    # fused into the paste chunks so the full-canvas bool (~2.4 GB at
+    # b48/D=50) never touches HBM at all.
+    from maskrcnn_tpu.ops.mask_paste import paste_masks_packed
+    packed = paste_masks_packed(
+        sel.reshape(b * d, *sel.shape[2:]),
+        det.boxes.reshape(b * d, 4),
+        det.valid.reshape(b * d), h, w)
     return {
         "class_ids": det.class_ids,
         "scores": det.scores,
         "boxes": det.boxes,
         "valid": det.valid,
-        "masks_packed": pack_masks_device(full),
+        "masks_packed": packed.reshape(b, d, h, packed.shape[-1]),
     }

@@ -176,3 +176,37 @@ def paste_masks_chunked(masks: jnp.ndarray, boxes: jnp.ndarray,
         lambda args: paste_masks(args[0], args[1], height, width),
         (mc, bc))
     return out.reshape(-1, height, width)[:n]
+
+
+def paste_masks_packed(masks: jnp.ndarray, boxes: jnp.ndarray,
+                       valid: jnp.ndarray, height: int, width: int,
+                       chunk: int = 8) -> jnp.ndarray:
+    """paste_masks_chunked with the validity mask and the bit-pack
+    fused INTO each chunk, so the full-canvas bool never crosses HBM —
+    only the packed uint8 (1/8 the bytes) leaves the loop body. Bit-
+    identical to `pack_masks_device(paste_masks_chunked(...) & valid)`
+    (asserted in tests/test_mask_paste.py); measured ~2x faster for
+    the paste+pack stage at b32 (the stage was canvas-bandwidth-bound).
+
+    masks: [N, m, m]; boxes: [N, 4]; valid: [N] bool.
+    Returns [N, height, ceil(width/8)] uint8 (np.unpackbits order).
+    """
+    from maskrcnn_tpu.ops.bits import pack_masks_device
+
+    n = masks.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        masks = jnp.pad(masks, ((0, pad), (0, 0), (0, 0)))
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad),))
+    mc = masks.reshape(-1, chunk, *masks.shape[1:])
+    bc = boxes.reshape(-1, chunk, 4)
+    vc = valid.reshape(-1, chunk)
+
+    def body(args):
+        m, b, v = args
+        full = paste_masks(m, b, height, width) & v[:, None, None]
+        return pack_masks_device(full)
+
+    out = jax.lax.map(body, (mc, bc, vc))
+    return out.reshape(-1, height, out.shape[-1])[:n]

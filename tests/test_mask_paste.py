@@ -95,3 +95,30 @@ def test_paste_outside_box_is_false(rng):
     outside = out[0].copy()
     outside[10:30, 20:50] = False
     assert not outside.any()
+
+
+def test_paste_masks_packed_bit_identical(rng):
+    """paste_masks_packed == pack(paste_chunked & valid) bit for bit
+    (the fused form predict_step ships; only HBM traffic differs)."""
+    import jax
+    from maskrcnn_tpu.ops.bits import pack_masks_device
+    from maskrcnn_tpu.ops.mask_paste import (paste_masks_chunked,
+                                             paste_masks_packed)
+
+    h, w = 96, 104
+    n = 11  # exercises the chunk padding (not a multiple of 8)
+    masks = jnp.asarray(rng.rand(n, 28, 28).astype(np.float32))
+    boxes = []
+    for _ in range(n):
+        y1, x1 = rng.randint(0, 40, 2)
+        boxes.append([y1, x1, y1 + rng.randint(8, 50),
+                      x1 + rng.randint(8, 50)])
+    boxes = jnp.asarray(np.asarray(boxes, np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.3)
+
+    ref = pack_masks_device(
+        paste_masks_chunked(masks, boxes, h, w) & valid[:, None, None])
+    got = jax.jit(lambda m, b, v: paste_masks_packed(m, b, v, h, w))(
+        masks, boxes, valid)
+    assert got.dtype == ref.dtype and got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
