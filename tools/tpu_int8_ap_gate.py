@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""TPU accuracy gate for the int8 serving path at PRODUCTION scale.
+
+The CPU suite's trained-AP int8 gate (tests/test_learning_ap.py) runs
+the Tiny 64px config, whose pyramid levels are too small for the
+Pallas RoIAlign kernel — so the int8 RoIAlign feature tables
+(`QUANT_INT8_ROI`) and the kernel itself are never on its path. This
+tool closes that gap ON REAL TPU HARDWARE at the 1024px flagship
+config: overfit-train on synthetic scenes (the test_learning_ap scene
+generator, scaled up), then evaluate the SAME checkpoint through the
+full COCO eval stack in three configurations:
+
+    float (bf16)  |  int8 + int8 RoI tables  |  int8, bf16 RoI tables
+
+and assert the quantized AP50s are within 0.05 of float.
+
+    python tools/tpu_int8_ap_gate.py [--steps 240] [--batch 8]
+
+Takes ~10-15 min with a warm compile cache (training ~2 min of it).
+Recorded result: see BENCHMARKS.md "int8 RoIAlign feature tables".
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/maskrcnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # the scene/dataset builders are shared with the CPU AP gate so the
+    # two gates measure the same task
+    from test_learning_ap import _make_coco_dir, _scene, _train_batch
+
+    from maskrcnn_tpu.api import Detector
+    from maskrcnn_tpu.config import CocoInferenceConfig
+    from maskrcnn_tpu.data.coco import CocoDataset
+    from maskrcnn_tpu.eval.evaluate import evaluate_coco
+    from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
+    from maskrcnn_tpu.train.step import (TrainState, make_optimizer,
+                                         train_step)
+    from maskrcnn_tpu.train.trainer import (LAYER_REGEX, decay_mask,
+                                            trainable_mask)
+
+    cfg = CocoInferenceConfig(DETECTION_MIN_CONFIDENCE=0.0,
+                              MAX_GT_INSTANCES=4)
+    model = MaskRCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    regex = LAYER_REGEX["all"]
+    tmask = trainable_mask(params, regex)
+    opt = make_optimizer(cfg, args.lr, decay_mask(params, regex))
+    oam = (opt, lambda p, _m=tmask: _m)
+    state = TrainState(step=np.int32(0), params=params,
+                       opt_state=opt.init(params))
+
+    # Pre-stage a small pool of device-resident batches: through the
+    # dev tunnel a fresh 1024px batch (25 MB canvases + gt masks) costs
+    # ~5-10 s/step h2d, which would swamp the ~0.4 s step. Cycling 10
+    # distinct batches is plenty for an overfit gate, and bit-packing
+    # the gt masks (train_step's gt_masks_packed input) cuts the
+    # one-time transfer 8x.
+    rng = np.random.RandomState(3)
+    pool = []
+    for _ in range(10):
+        b = _train_batch(rng, cfg, args.batch)
+        masks = b.pop("gt_masks")
+        b["gt_masks_packed"] = np.packbits(masks, axis=-1)
+        pool.append(jax.device_put(b))
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for step in range(args.steps):
+        key, k = jax.random.split(key)
+        state, metrics = train_step(model, oam, state,
+                                    pool[step % len(pool)], k)
+        if step % 40 == 0:
+            print(f"step {step}: total={float(metrics['total']):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    assert np.isfinite(float(metrics["total"]))
+    params_f = jax.device_get(state.params)
+
+    with tempfile.TemporaryDirectory() as td:
+        root = _make_coco_dir(Path(td), cfg)
+        ds = CocoDataset(root, "minival", 2014, cfg)
+        calib = np.stack([_scene(np.random.RandomState(900 + i),
+                                 cfg)[0] for i in range(4)])
+
+        def ap50(config, **kw):
+            det = Detector(config, params=params_f, **kw)
+            bbox = evaluate_coco(det, ds, ds.coco, "bbox", limit=8,
+                                 batch_size=8)
+            segm = evaluate_coco(det, ds, ds.coco, "segm", limit=8,
+                                 batch_size=8)
+            return bbox[1], segm[1]
+
+        fb, fs = ap50(cfg)
+        print(f"float      bbox AP50 {fb:.3f}  segm AP50 {fs:.3f}",
+              flush=True)
+        qb, qs = ap50(cfg.replace(QUANT_INT8=True), calib_images=calib)
+        print(f"int8+roi8  bbox AP50 {qb:.3f}  segm AP50 {qs:.3f}",
+              flush=True)
+        rb, rs = ap50(cfg.replace(QUANT_INT8=True, QUANT_INT8_ROI=False),
+                      calib_images=calib)
+        print(f"int8 only  bbox AP50 {rb:.3f}  segm AP50 {rs:.3f}",
+              flush=True)
+
+    assert qb >= fb - 0.05, f"int8+roi8 bbox {qb:.3f} vs float {fb:.3f}"
+    assert qs >= fs - 0.05, f"int8+roi8 segm {qs:.3f} vs float {fs:.3f}"
+    print("PASS: int8 (+int8 RoI tables) AP50 within 0.05 of float "
+          "at 1024px on TPU")
+
+
+if __name__ == "__main__":
+    main()
