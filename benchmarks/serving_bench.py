@@ -49,7 +49,7 @@ def run_clients(bd, n_clients: int, n_requests: int, image):
     }
 
 
-def main(n_requests: int = 32):
+def main(n_requests: int = 32, int8: bool = False):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/maskrcnn_tpu_jax_cache")
@@ -59,7 +59,13 @@ def main(n_requests: int = 32):
     from maskrcnn_tpu.config import CocoInferenceConfig
     from maskrcnn_tpu.serving import BatchingDetector
 
-    det = Detector(CocoInferenceConfig())
+    cfg = CocoInferenceConfig(QUANT_INT8=int8)
+    kw = {}
+    if int8:
+        from maskrcnn_tpu.quant import default_calib_canvases
+        kw["calib_images"] = default_calib_canvases(
+            cfg.IMAGE_SHAPE[:2], n=2)
+    det = Detector(cfg, **kw)
     rng = np.random.RandomState(0)
     image = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)
 
@@ -76,4 +82,5 @@ def main(n_requests: int = 32):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)
+    args = [a for a in sys.argv[1:] if a != "--int8"]
+    main(int(args[0]) if args else 32, int8="--int8" in sys.argv)

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--steps", type=int, default=240)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--render", default=None, metavar="OUT.jpg",
+                    help="also save a detection render of one eval "
+                         "scene from the int8 detector (a trained-"
+                         "model golden image for output/)")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +126,25 @@ def main():
                       calib_images=calib)
         print(f"int8 only  bbox AP50 {rb:.3f}  segm AP50 {rs:.3f}",
               flush=True)
+
+        if args.render:
+            from maskrcnn_tpu.utils.visualize import display_instances
+            det = Detector(cfg.replace(QUANT_INT8=True),
+                           params=params_f, calib_images=calib)
+            img, _ = _scene(np.random.RandomState(501), cfg)
+            r = det.detect(img)
+            if r is None:
+                print("render skipped: no detections", flush=True)
+            else:
+                class_ids, scores, boxes, masks = r
+                display_instances(
+                    img, np.asarray(boxes), np.asarray(masks),
+                    np.asarray(class_ids),
+                    [f"c{c}" for c in range(cfg.NUM_CLASSES)],
+                    scores=scores,
+                    title="TPU-trained 1024px model, int8 serving path",
+                    save_path=args.render)
+                print(f"render saved: {args.render}", flush=True)
 
     assert qb >= fb - 0.05, f"int8+roi8 bbox {qb:.3f} vs float {fb:.3f}"
     assert qs >= fs - 0.05, f"int8+roi8 segm {qs:.3f} vs float {fs:.3f}"
