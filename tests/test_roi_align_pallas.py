@@ -77,6 +77,30 @@ def test_int8_table_matches_dequantized_xla(rng):
                                    err_msg=f"image {i}")
 
 
+def test_pool_rois_quant_scales_glue(rng):
+    """detection/pipeline._pool_rois(quant_scales=...) — the production
+    int8-RoI glue: quantize-with-RPN-scales + in-kernel dequant +
+    out_dtype — approximates the float pool within int8 tolerance."""
+    from maskrcnn_tpu.detection.pipeline import _pool_rois
+
+    feats = [jnp.asarray((rng.rand(1, s, s, 128) * 2 - 1)
+                         .astype(np.float32))
+             for s in (256, 128, 64, 32)] + [
+        jnp.asarray(rng.rand(1, 16, 16, 128).astype(np.float32))]
+    boxes = jnp.asarray(_boxes(rng, 24))[None]
+    shape = (1024, 1024, 3)
+    scales = [jnp.float32(1.0 / 127.0)] * 4
+
+    got = _pool_rois(feats, boxes, 7, shape, impl="pallas",
+                     quant_scales=scales)
+    assert got.dtype == feats[0].dtype
+    want = _pool_rois(feats, boxes, 7, shape, impl="xla")
+    # per-level scale 1/127 on inputs in [-1, 1]: quantization step
+    # ~0.008 -> pooled values agree to ~1e-2 absolute
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2)
+
+
 def test_batched_images_are_independent(rng):
     feats = [jnp.asarray(rng.rand(2, s, s, 128).astype(np.float32))
              for s in (256, 128, 64, 32)]
