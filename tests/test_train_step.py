@@ -200,6 +200,25 @@ def test_two_axis_mesh_step_matches_single_device(setup, rng):
                            replicate(key, mesh)).compile()
     hlo = compiled.as_text()
     assert "all-reduce" in hlo, "no gradient all-reduce in lowered HLO"
+    # collective budget: pure DP must lower to a handful of FUSED grad
+    # all-reduces — a blowup here means a sharding annotation regressed
+    # into per-parameter reduces; and a replicated-params/sharded-batch
+    # program has no business emitting all-to-alls or permutes (those
+    # would be XLA resharding behind our back).
+    import re
+    n_ar = len(re.findall(r"= \S+ all-reduce(?:-start)?\(", hlo))
+    assert 1 <= n_ar <= 16, f"{n_ar} all-reduce ops in the DP step"
+    assert "all-to-all" not in hlo, "unexpected all-to-all in DP step"
+    # SPMD partitioning legitimately emits TINY integer
+    # collective-permutes for sharded RNG/slice bookkeeping (u32[2,2]
+    # etc.); what must never appear is a permute of real activation/
+    # gradient tensors — that would be XLA resharding our data behind
+    # the annotations.
+    for dtype, dims in re.findall(
+            r"= (\w+)\[([0-9,]*)\][^ ]* collective-permute", hlo):
+        elems = np.prod([int(d) for d in dims.split(",") if d] or [1])
+        assert dtype in ("u32", "s32", "u64", "s64") and elems <= 64, \
+            f"data-sized collective-permute in DP step: {dtype}[{dims}]"
 
     par_state, par_metrics = pstep(state_r, batch_s, replicate(key, mesh))
     np.testing.assert_allclose(float(single_metrics["total"]),
