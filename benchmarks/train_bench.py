@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32",
-         remat_heads: bool = False):
+         remat_heads: bool = False, accum: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,7 @@ def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32",
                                             trainable_mask)
 
     config = CocoConfig(REMAT_BACKBONE=remat, OPT_MOMENTUM_DTYPE=mom_dtype,
-                        REMAT_HEADS=remat_heads)
+                        REMAT_HEADS=remat_heads, GRAD_ACCUM_STEPS=accum)
     model = MaskRCNN(config)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -56,6 +56,9 @@ def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32",
 
     raw = next(SyntheticLoader(config, batch))
     raw["gt_masks_packed"] = pack_masks(raw.pop("gt_masks"))
+    if accum > 1:
+        from maskrcnn_tpu.train.step import split_accum
+        raw = split_accum(raw, accum)
     batch_dev = jax.device_put(raw)
     key = jax.random.PRNGKey(1)
 
@@ -85,7 +88,7 @@ def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32",
     state, loss = loop(state, batch_dev, key)
     float(loss)
     dt = (time.time() - t0) / iters
-    print(f"batch {batch} remat={remat} mom={mom_dtype} rheads={remat_heads}: {dt:.3f}s/step -> "
+    print(f"batch {batch} remat={remat} mom={mom_dtype} rheads={remat_heads} accum={accum}: {dt:.3f}s/step -> "
           f"{batch / dt:.2f} img/s ({1e3 * dt / batch:.1f} ms/img)")
 
 
@@ -94,4 +97,5 @@ if __name__ == "__main__":
     r = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     m = sys.argv[3] if len(sys.argv) > 3 else "float32"
     rh = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
-    main(b, r, m, rh)
+    ac = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    main(b, r, m, rh, ac)

@@ -61,6 +61,12 @@ def main():
     parser.add_argument("--epochs", required=False, default=None, type=int,
                         help="Train a single stage to this epoch instead "
                         "of the 3-stage schedule")
+    parser.add_argument("--grad-accum", required=False, default=1,
+                        type=int, help="Gradient accumulation: split "
+                        "each step's batch into this many sequential "
+                        "micro-batches (one optimizer update; effective "
+                        "batch = BATCH_SIZE, micro = BATCH_SIZE/accum "
+                        "per device group — the HBM-relief knob)")
     args = parser.parse_args()
     print("Command: ", args.command)
     print("Model: ", args.model)
@@ -70,7 +76,11 @@ def main():
 
     n_dev = args.devices or jax.device_count()
     if args.command == "train":
-        config = CocoConfig(NUM_DEVICES=n_dev)
+        config = CocoConfig(NUM_DEVICES=n_dev,
+                            GRAD_ACCUM_STEPS=args.grad_accum)
+        assert config.BATCH_SIZE % max(args.grad_accum, 1) == 0, (
+            f"BATCH_SIZE {config.BATCH_SIZE} must divide by "
+            f"--grad-accum {args.grad_accum}")
     else:
         # batch-sharded eval over the dp mesh (Detector handles it).
         # Masks decode on the host PIL path here: it is the

@@ -132,6 +132,17 @@ class Config:
     # the kernel DMAs the bf16 maps even when the backbone is int8
     # (the accuracy-conservative A/B arm for tools/parity_bisect).
     QUANT_INT8_ROI: bool = True
+    # Gradient accumulation: split each train step's batch into this
+    # many sequential micro-batches, average the gradients, apply ONE
+    # optimizer update. Batches must arrive micro-stacked
+    # [A, B/A, ...] (Trainer reshapes automatically; direct train_step
+    # callers use train.step.split_accum). Trades step latency for
+    # effective batch beyond the HBM wall (b16 is the largest
+    # monolithic step at 1024px on a 16G v5e; accumulation unlocks
+    # b32+). Equivalent to torch-style accumulation: per-micro loss
+    # normalizers (e.g. the RPN's matched-anchor count) see the micro
+    # batch, exactly as N small optimizer-less steps would.
+    GRAD_ACCUM_STEPS: int = 1
     # Momentum-buffer dtype for the SGD optimizer ("bfloat16" halves
     # optimizer-state HBM — an HBM-headroom knob, not a speed knob;
     # see train/step.py make_optimizer).

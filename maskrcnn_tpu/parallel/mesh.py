@@ -48,10 +48,15 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _data_spec(mesh: Mesh, axis: Optional[str]) -> P:
+def _data_spec(mesh: Mesh, axis: Optional[str],
+               leading_accum: bool = False) -> P:
     """Batch-leading-dim sharding: over the named axis, or over ALL mesh
-    axes (dcn x dp product) when axis is None."""
-    return P(tuple(mesh.axis_names) if axis is None else axis)
+    axes (dcn x dp product) when axis is None. leading_accum=True
+    shards the SECOND dim instead — for GRAD_ACCUM_STEPS batches
+    micro-stacked [A, B/A, ...] (train.step.split_accum), whose leading
+    axis is the sequential accumulation loop, not data."""
+    data = tuple(mesh.axis_names) if axis is None else axis
+    return P(None, data) if leading_accum else P(data)
 
 
 def replicate(tree, mesh: Mesh):
@@ -69,16 +74,19 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
-                axis: Optional[str] = None):
+                axis: Optional[str] = None,
+                leading_accum: bool = False):
     """Shard every batch leaf along its leading (batch) dimension over
-    all mesh axes (or one named axis).
+    all mesh axes (or one named axis). leading_accum=True expects
+    micro-stacked [A, B/A, ...] leaves (train.step.split_accum) and
+    shards the second dim.
 
     Multi-process meshes: each process passes its LOCAL shard (from a
     BatchLoader constructed with shard_index=jax.process_index(),
     num_shards=jax.process_count()) and the leaves are assembled into
     one global jax.Array via make_array_from_process_local_data — the
     multi-host data path (SURVEY section 2.3)."""
-    sharding = NamedSharding(mesh, _data_spec(mesh, axis))
+    sharding = NamedSharding(mesh, _data_spec(mesh, axis, leading_accum))
     if jax.process_count() > 1:
         return {
             k: jax.make_array_from_process_local_data(
@@ -100,7 +108,9 @@ def make_parallel_train_step(model: MaskRCNN, optimizer_and_mask,
     skip guard lives inside train_step, so no caller rollback is needed).
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, _data_spec(mesh, axis))
+    accum = getattr(model.config, "GRAD_ACCUM_STEPS", 1)
+    data = NamedSharding(mesh, _data_spec(mesh, axis,
+                                          leading_accum=accum > 1))
 
     def step(state: TrainState, batch, key):
         return train_step(model, optimizer_and_mask, state, batch, key)

@@ -21,6 +21,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from maskrcnn_tpu.detection.pipeline import _pool_rois, rpn_refine
@@ -147,6 +148,23 @@ def make_optimizer(config, learning_rate: float, decay_mask) -> optax.GradientTr
     )
 
 
+def split_accum(batch: Dict[str, Any], accum: int) -> Dict[str, Any]:
+    """Micro-stack a host batch for GRAD_ACCUM_STEPS: every leaf
+    [B, ...] -> [accum, B//accum, ...]. Done on the HOST (numpy) before
+    shard_batch so that under data parallelism the sharded axis is the
+    micro-batch axis and each scan iteration stays device-local."""
+    if accum <= 1:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        assert v.shape[0] % accum == 0, (
+            f"batch dim {v.shape[0]} not divisible by "
+            f"GRAD_ACCUM_STEPS={accum}")
+        out[k] = v.reshape(accum, v.shape[0] // accum, *v.shape[1:])
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def train_step(model: MaskRCNN, optimizer_and_mask, state: TrainState,
                batch, key) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -163,11 +181,35 @@ def train_step(model: MaskRCNN, optimizer_and_mask, state: TrainState,
     reference has no such guard; SURVEY section 5 failure detection)."""
     optimizer, trainable_fn = optimizer_and_mask
 
-    def loss_fn(params):
-        losses = compute_losses(model, params, key, batch)
-        return losses.total, losses
+    accum = getattr(model.config, "GRAD_ACCUM_STEPS", 1)
+    if accum > 1:
+        # batch leaves arrive micro-stacked [A, B/A, ...] (split_accum)
+        # so the scan slices stay local to each device's shard under dp.
+        def loss_fn_m(params, k, mb):
+            losses = compute_losses(model, params, k, mb)
+            return losses.total, losses
 
-    grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        def body(carry, inp):
+            gsum, lsum = carry
+            k, mb = inp
+            g, l = jax.grad(loss_fn_m, has_aux=True)(state.params, k, mb)
+            return (jax.tree_util.tree_map(jnp.add, gsum, g),
+                    jax.tree_util.tree_map(jnp.add, lsum, l)), None
+
+        zeros_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, p.dtype), state.params)
+        zeros_l = L.Losses(*([jnp.float32(0.0)] * len(L.Losses._fields)))
+        keys = jax.random.split(key, accum)
+        (gsum, lsum), _ = jax.lax.scan(body, (zeros_g, zeros_l),
+                                       (keys, batch))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        losses = jax.tree_util.tree_map(lambda v: v / accum, lsum)
+    else:
+        def loss_fn(params):
+            losses = compute_losses(model, params, key, batch)
+            return losses.total, losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
     # Freeze: zero non-trainable grads BEFORE clipping so the clip norm
     # only sees trainable params (torch clips params-with-grad only).
     trainable = trainable_fn(state.params)

@@ -165,7 +165,13 @@ class Trainer:
             for step in range(steps_per_epoch):
                 batch = next(train_iter)
                 rng, key = jax.random.split(rng)
-                batch = shard_batch(batch, mesh)
+                if cfg.GRAD_ACCUM_STEPS > 1:
+                    from maskrcnn_tpu.train.step import split_accum
+                    batch = shard_batch(
+                        split_accum(batch, cfg.GRAD_ACCUM_STEPS), mesh,
+                        leading_accum=True)
+                else:
+                    batch = shard_batch(batch, mesh)
                 state, metrics = pstep(state, batch, replicate(key, mesh))
                 # failure guard (the reference has none, SURVEY section
                 # 5): a non-finite loss skips the update in-graph

@@ -254,3 +254,95 @@ def test_remat_heads_identical_grads(setup, rng):
     for a, b_ in zip(jax.tree_util.tree_leaves(g0),
                      jax.tree_util.tree_leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+@pytest.mark.slow
+def test_grad_accum_matches_manual_average(setup, rng):
+    """GRAD_ACCUM_STEPS=2: the fused accumulate-then-update step equals
+    averaging the two micro-batch gradients by hand (same split keys)
+    and applying one optimizer update."""
+    from maskrcnn_tpu.train.step import compute_losses, split_accum
+
+    cfg, model, params = setup
+    acfg = cfg.replace(GRAD_ACCUM_STEPS=2)
+    amodel = MaskRCNN(acfg)
+    b = 8
+    batch = make_batch(cfg, rng, b)
+    key = jax.random.PRNGKey(11)
+
+    opt_and_mask, opt = _opt(acfg, params, layers="heads")
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=opt.init(params))
+    stacked = {k: jnp.asarray(v)
+               for k, v in split_accum(batch, 2).items()}
+    astate, ametrics = train_step(amodel, opt_and_mask, state, stacked,
+                                  key)
+
+    # manual average with the same per-micro keys
+    def loss_fn(p, k, mb):
+        losses = compute_losses(model, p, k, mb)
+        return losses.total, losses
+
+    keys = jax.random.split(key, 2)
+    gl = [jax.grad(loss_fn, has_aux=True)(
+        params, keys[j], {k: v[j] for k, v in stacked.items()})
+        for j in range(2)]
+    grads = jax.tree_util.tree_map(lambda a, c: (a + c) / 2.0,
+                                   gl[0][0], gl[1][0])
+    total_manual = (float(gl[0][1].total) + float(gl[1][1].total)) / 2.0
+    np.testing.assert_allclose(float(ametrics["total"]), total_manual,
+                               rtol=1e-5)
+
+    optimizer, trainable_fn = opt_and_mask
+    trainable = trainable_fn(params)
+    grads = jax.tree_util.tree_map(
+        lambda g, t: g * jnp.asarray(t, g.dtype), grads, trainable)
+    updates, _ = optimizer.update(grads, opt.init(params), params)
+    import optax
+    manual_params = optax.apply_updates(params, updates)
+    for a, m in zip(jax.tree_util.tree_leaves(astate.params),
+                    jax.tree_util.tree_leaves(manual_params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(m, np.float32),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_grad_accum_on_mesh_matches_single_device(setup, rng):
+    """accum=2 composed with the dp mesh: micro-stacked batch sharded on
+    its SECOND axis, metrics equal the single-device accum step."""
+    from maskrcnn_tpu.train.step import split_accum
+
+    cfg, model, params = setup
+    acfg = cfg.replace(GRAD_ACCUM_STEPS=2)
+    amodel = MaskRCNN(acfg)
+    b = 16
+    batch = make_batch(cfg, rng, b)
+    key = jax.random.PRNGKey(13)
+
+    opt_and_mask, opt = _opt(acfg, params, layers="heads")
+    state0 = TrainState(step=jnp.int32(0), params=params,
+                        opt_state=opt.init(params))
+    stacked = {k: jnp.asarray(v)
+               for k, v in split_accum(batch, 2).items()}
+    single_state, single_metrics = train_step(amodel, opt_and_mask,
+                                              state0, stacked, key)
+
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(amodel, opt_and_mask, mesh)
+    state_r = replicate(
+        TrainState(step=jnp.int32(0), params=params,
+                   opt_state=opt.init(params)), mesh)
+    batch_s = shard_batch(split_accum(batch, 2), mesh,
+                          leading_accum=True)
+    for v in batch_s.values():
+        assert v.shape[0] == 2
+        assert v.addressable_shards[0].data.shape[1] == (b // 2) // 8
+    par_state, par_metrics = pstep(state_r, batch_s,
+                                   replicate(key, mesh))
+    np.testing.assert_allclose(float(single_metrics["total"]),
+                               float(par_metrics["total"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(single_state.params),
+                     jax.tree_util.tree_leaves(par_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
