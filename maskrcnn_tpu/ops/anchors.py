@@ -28,22 +28,28 @@ def generate_level_anchors(scale, ratios, shape, feature_stride,
     shape: (h, w) of the feature map.
     Returns [h*w*len(ratios), 4] float32 (y1, x1, y2, x2), ordered
     (y, x, ratio).
+
+    Computed in float64 then cast, exactly like the reference (numpy
+    f64 at utils.py:116-220, `.float()` at model.py:991-995) — the
+    anchor grid is then BIT-equal to the reference's, which keeps the
+    composed proposal layer free of last-ulp decode differences
+    (verified by tests/test_reference_model_golden.py).
     """
-    ratios = np.asarray(ratios, np.float32)
-    scale = np.float32(scale)
+    ratios = np.asarray(ratios, np.float64)
+    scale = np.float64(scale)
     heights = scale / np.sqrt(ratios)  # [A]
     widths = scale * np.sqrt(ratios)   # [A]
 
-    shifts_y = (np.arange(0, shape[0], anchor_stride, dtype=np.float32)
+    shifts_y = (np.arange(0, shape[0], anchor_stride, dtype=np.float64)
                 * feature_stride)  # [H]
-    shifts_x = (np.arange(0, shape[1], anchor_stride, dtype=np.float32)
+    shifts_x = (np.arange(0, shape[1], anchor_stride, dtype=np.float64)
                 * feature_stride)  # [W]
 
     # [H, W, A] broadcasting; reshape order (y, x, ratio).
     cy = shifts_y[:, None, None] + np.zeros(
-        (1, shifts_x.shape[0], ratios.shape[0]), np.float32)
+        (1, shifts_x.shape[0], ratios.shape[0]), np.float64)
     cx = shifts_x[None, :, None] + np.zeros(
-        (shifts_y.shape[0], 1, ratios.shape[0]), np.float32)
+        (shifts_y.shape[0], 1, ratios.shape[0]), np.float64)
     h = np.broadcast_to(heights[None, None, :], cy.shape)
     w = np.broadcast_to(widths[None, None, :], cy.shape)
 

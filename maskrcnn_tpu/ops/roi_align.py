@@ -63,6 +63,54 @@ def roi_levels(boxes: jnp.ndarray, image_shape) -> jnp.ndarray:
     return (lvl - 2.0).astype(jnp.int32)
 
 
+def sample_points(boxes: jnp.ndarray, h_max: jnp.ndarray,
+                  w_max: jnp.ndarray, pool_size: int):
+    """Bilinear sample coordinates per output cell: ([N, P], [N, P]).
+
+    Literal op-order of the reference kernel (crop_cpu.cpp:52-61):
+        scale = (y2 - y1) * (H - 1) / (P - 1)
+        in_y  = y1 * (H - 1) + y * scale
+    Each step rounds once in f32 exactly like the C code, so the
+    in-range / extrapolation decision at image-boundary boxes
+    (y2 == 1.0 -> in_y == H-1 up to the LAST rounding) lands on the
+    same side as the reference's — algebraically-equal forms such as
+    (y1 + p*(y2-y1))*(H-1) round differently and flip the boundary
+    row/column between sampled and zeroed (caught by
+    tests/test_reference_model_golden.py on clipped proposals).
+    """
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    steps = jnp.arange(pool_size, dtype=jnp.float32)   # [P]
+    # Two compiler rewrites would break per-op IEEE f32 rounding here
+    # (both observed on XLA:CPU; either flips the extrapolation flag of
+    # exact-boundary samples — x1*63 + 6*ws == 63.0 strict but
+    # 63.0000038 rewritten, for a clipped x2 == 1.0 box):
+    # * division by a CONSTANT becomes multiplication by its reciprocal
+    #   (1 ulp off on ~34% of inputs) — an optimization_barrier on the
+    #   divisor makes it a runtime value, keeping a true divide;
+    # * the grid mul feeding the final add contracts into an FMA. A
+    #   barrier on the mul is NOT enough: fusion DUPLICATES the
+    #   producer mul into the add's fusion and LLVM contracts it there
+    #   (and `where(pred, x, -x)` pins get sign-folded away). The fix:
+    #   add a runtime-opaque ZERO to each mul. Even if the compiler
+    #   contracts `a*b + zero` into fma(a, b, 0), that IS the correctly
+    #   rounded product; the outer `base + off` then has no mul operand
+    #   left to contract with. tests/test_roi_align.py::
+    #   test_sample_points_strict_f32 sweeps this bit-exactly against
+    #   per-op numpy f32.
+    # Cost: two [N, P] adds and an unfused [N] divide — noise.
+    inv = jax.lax.optimization_barrier(
+        jnp.float32(pool_size - 1))
+    zero = jax.lax.optimization_barrier(jnp.float32(0.0))
+
+    hs = (y2 - y1) * h_max / inv                       # [N]
+    ws = (x2 - x1) * w_max / inv
+    base_y = (y1 * h_max + zero)[:, None]
+    base_x = (x1 * w_max + zero)[:, None]
+    off_y = steps[None, :] * hs[:, None] + zero
+    off_x = steps[None, :] * ws[:, None] + zero
+    return base_y + off_y, base_x + off_x
+
+
 def multilevel_roi_align(features: Sequence[jnp.ndarray],
                          boxes: jnp.ndarray,
                          pool_size: int,
@@ -155,12 +203,7 @@ def _crop_core(table: jnp.ndarray, boxes: jnp.ndarray, pool_size: int,
     boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
     c = table.shape[-1]
 
-    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    p = jnp.arange(pool_size, dtype=jnp.float32) / (pool_size - 1)  # [P]
-
-    # Sample points (crop_cpu.cpp:52-61): in_y = y1*(H-1) + p*(y2-y1)*(H-1)
-    in_y = (y1[:, None] + p[None, :] * (y2 - y1)[:, None]) * h_max[:, None]
-    in_x = (x1[:, None] + p[None, :] * (x2 - x1)[:, None]) * w_max[:, None]
+    in_y, in_x = sample_points(boxes, h_max, w_max, pool_size)
 
     out_y = (in_y < 0.0) | (in_y > h_max[:, None])   # [N, P]
     out_x = (in_x < 0.0) | (in_x > w_max[:, None])
@@ -225,12 +268,7 @@ def _crop_core_rows(flat: jnp.ndarray, boxes: jnp.ndarray, pool_size: int,
     boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
     c = flat.shape[-1]
 
-    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    p = jnp.arange(pool_size, dtype=jnp.float32) / (pool_size - 1)  # [P]
-
-    # Sample points (crop_cpu.cpp:52-61): in_y = y1*(H-1) + p*(y2-y1)*(H-1)
-    in_y = (y1[:, None] + p[None, :] * (y2 - y1)[:, None]) * h_max[:, None]
-    in_x = (x1[:, None] + p[None, :] * (x2 - x1)[:, None]) * w_max[:, None]
+    in_y, in_x = sample_points(boxes, h_max, w_max, pool_size)
 
     out_y = (in_y < 0.0) | (in_y > h_max[:, None])   # [N, P]
     out_x = (in_x < 0.0) | (in_x > w_max[:, None])

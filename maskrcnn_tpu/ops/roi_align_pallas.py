@@ -45,6 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from maskrcnn_tpu.ops import roi_align
+
 PATCH = 32       # patch rows (table rows are untiled: any origin)
 # patch cols: the table's W dim is sublane-tiled by 8, so the DMA origin
 # must be 8-aligned; 40 = 32 + 8 keeps full 31-cell span coverage after
@@ -160,10 +162,9 @@ def _prep(boxes, lvl, heights, widths, row_offsets, pool):
     hl = jnp.asarray(heights)[lvl]
     wl = jnp.asarray(widths)[lvl]
 
-    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    p = jnp.arange(pool, dtype=jnp.float32) / (pool - 1)
-    in_y = (y1[:, None] + p[None, :] * (y2 - y1)[:, None]) * h_max[:, None]
-    in_x = (x1[:, None] + p[None, :] * (x2 - x1)[:, None]) * w_max[:, None]
+    # literal reference op-order (see roi_align.sample_points): keeps
+    # image-boundary extrapolation decisions identical to the xla path
+    in_y, in_x = roi_align.sample_points(boxes, h_max, w_max, pool)
 
     vy = ((in_y >= 0.0) & (in_y <= h_max[:, None])).astype(jnp.float32)
     vx = ((in_x >= 0.0) & (in_x <= w_max[:, None])).astype(jnp.float32)

@@ -128,3 +128,54 @@ def test_crop_backward_matches_oracle_numerics(rng):
         im[idx] -= eps
         fd = (f(jnp.asarray(ip)) - f(jnp.asarray(im))) / (2 * eps)
         np.testing.assert_allclose(g[idx], fd, rtol=1e-2, atol=1e-3)
+
+
+def test_sample_points_strict_f32():
+    """sample_points must round ONCE per op in f32, exactly like the
+    reference C kernel compiled without FMA (crop_cpu.cpp:52-61): the
+    in-range/extrapolation decision at image-boundary boxes (y2 == 1.0
+    -> in_y == H-1 only under strict per-op rounding) depends on the
+    last ulp. Guards against two compiler rewrites: constant-divisor ->
+    reciprocal multiply, and mul+add -> FMA inside the consumer fusion
+    (which survives optimization_barrier via producer duplication)."""
+    rng = np.random.RandomState(0)
+    n = 50000
+    pool = 7
+    y1 = rng.rand(n).astype(np.float32)
+    y2 = np.maximum(
+        y1, np.where(rng.rand(n) < 0.5, np.float32(1.0),
+                     rng.rand(n).astype(np.float32)))
+    x1 = rng.rand(n).astype(np.float32)
+    x2 = np.maximum(
+        x1, np.where(rng.rand(n) < 0.5, np.float32(1.0),
+                     rng.rand(n).astype(np.float32)))
+    boxes = np.stack([y1, x1, y2, x2], 1)
+    hm = np.full((n,), 63.0, np.float32)
+    wm = np.full((n,), 31.0, np.float32)
+
+    def strict(a1, a2, m):
+        d = (a2 - a1).astype(np.float32)
+        scale = ((d * m).astype(np.float32)
+                 / np.float32(pool - 1)).astype(np.float32)
+        base = (a1 * m).astype(np.float32)
+        steps = np.arange(pool, dtype=np.float32)
+        off = (steps[None, :] * scale[:, None]).astype(np.float32)
+        return (base[:, None] + off).astype(np.float32)
+
+    want_y = strict(y1, y2, hm)
+    want_x = strict(x1, x2, wm)
+
+    # inside a consumer fusion shaped like _crop_core (the flag compare
+    # and lerp pull the sample points into a bigger fused computation,
+    # which is where the FMA contraction used to fire)
+    def fused(b):
+        iy, ix = R.sample_points(b, jnp.asarray(hm), jnp.asarray(wm),
+                                 pool)
+        oy = (iy < 0.0) | (iy > jnp.asarray(hm)[:, None])
+        t = jnp.clip(iy, 0.0, 63.0) - jnp.floor(iy)
+        return iy, ix, oy, t
+
+    iy, ix, oy, _ = jax.jit(fused)(jnp.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(iy), want_y)
+    np.testing.assert_array_equal(np.asarray(ix), want_x)
+    np.testing.assert_array_equal(np.asarray(oy), want_y > 63.0)
