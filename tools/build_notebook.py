@@ -293,6 +293,9 @@ step on virtual devices.\
 nb["cells"] = cells
 nb["metadata"]["kernelspec"] = {
     "display_name": "Python 3", "language": "python", "name": "python3"}
-with open("explore.ipynb", "w") as f:
-    nbf.write(nb, f)
-print(f"wrote explore.ipynb with {len(cells)} cells")
+
+if __name__ == "__main__":  # guard: importing this tool must not
+    # clobber the EXECUTED explore.ipynb checked into the repo
+    with open("explore.ipynb", "w") as f:
+        nbf.write(nb, f)
+    print(f"wrote explore.ipynb with {len(cells)} cells")
