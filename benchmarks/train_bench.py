@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32",
-         remat_heads: bool = False, accum: int = 1):
+         remat_heads: bool = False, accum: int = 1, canvas: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -41,8 +41,13 @@ def main(batch: int = 4, remat: bool = True, mom_dtype: str = "float32",
     from maskrcnn_tpu.train.trainer import (LAYER_REGEX, decay_mask,
                                             trainable_mask)
 
+    over = {}
+    if canvas:  # curriculum-stage shapes (see trainer.fit_canvas_curriculum)
+        over = dict(IMAGE_CANVAS=(canvas, canvas), IMAGE_MAX_DIM=canvas,
+                    IMAGE_MIN_DIM=round(800 * canvas / 1024))
     config = CocoConfig(REMAT_BACKBONE=remat, OPT_MOMENTUM_DTYPE=mom_dtype,
-                        REMAT_HEADS=remat_heads, GRAD_ACCUM_STEPS=accum)
+                        REMAT_HEADS=remat_heads, GRAD_ACCUM_STEPS=accum,
+                        **over)
     model = MaskRCNN(config)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -98,4 +103,5 @@ if __name__ == "__main__":
     m = sys.argv[3] if len(sys.argv) > 3 else "float32"
     rh = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
     ac = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-    main(b, r, m, rh, ac)
+    cv = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    main(b, r, m, rh, ac, cv)

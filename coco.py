@@ -61,6 +61,14 @@ def main():
     parser.add_argument("--epochs", required=False, default=None, type=int,
                         help="Train a single stage to this epoch instead "
                         "of the 3-stage schedule")
+    parser.add_argument(
+        "--curriculum", required=False, default=None, metavar="SPEC",
+        help="canvas curriculum 'canvas:epochs[:lr],...' e.g. "
+             "'512:40,1024:160' — train early epochs at a smaller "
+             "canvas (params carry over; re-jits per stage), finish at "
+             "full resolution. Replaces the 3-stage layer schedule "
+             "(trains 'all' layers each stage); an opt-in departure "
+             "from the reference protocol like IMAGE_CANVAS.")
     parser.add_argument("--grad-accum", required=False, default=1,
                         type=int, help="Gradient accumulation: split "
                         "each step's batch into this many sequential "
@@ -122,7 +130,28 @@ def main():
         kw = {}
         if args.steps_per_epoch:
             kw["steps_per_epoch"] = args.steps_per_epoch
-        if args.epochs:
+        if args.curriculum:
+            from maskrcnn_tpu.train.trainer import fit_canvas_curriculum
+            stages = []
+            for part in args.curriculum.split(","):
+                bits = part.split(":")
+                stage = {"canvas": int(bits[0]), "epochs": int(bits[1])}
+                if len(bits) > 2:
+                    stage["lr"] = float(bits[2])
+                stages.append(stage)
+
+            def make_iters(cfg):
+                tds = CocoDataset(args.dataset, "train", args.year, cfg)
+                vds = CocoDataset(args.dataset, "minival", args.year, cfg)
+                return (BatchLoader(tds, cfg.BATCH_SIZE // nproc,
+                                    shard_index=pid, num_shards=nproc),
+                        BatchLoader(vds, cfg.BATCH_SIZE // nproc,
+                                    shard_index=pid, num_shards=nproc))
+
+            fit_canvas_curriculum(config, params, make_iters, stages,
+                                  jax.random.PRNGKey(1), layers="all",
+                                  checkpoint_dir=args.logs, **kw)
+        elif args.epochs:
             trainer.fit(params, train_iter, config.LEARNING_RATE,
                         args.epochs, "heads", jax.random.PRNGKey(1),
                         val_iter=val_iter, **kw)

@@ -230,3 +230,65 @@ class Trainer:
         params = self.fit(params, train_iter, lr / 10.0, 160, "all", rng,
                           val_iter=val_iter, **kw)
         return params
+
+
+def fit_canvas_curriculum(base_config, params, make_iters, stages,
+                          rng, layers: str = "all",
+                          checkpoint_dir: Optional[str] = None,
+                          **fit_kw):
+    """Multi-scale canvas curriculum over `Trainer.fit` stages.
+
+    Training at 1024px is HBM-bandwidth-walled (BENCHMARKS.md); a
+    curriculum runs early epochs at a smaller canvas — a 512px step
+    moves ~1/4 the activation bytes, so the same optimizer work costs a
+    fraction of the wall clock — and finishes at full resolution for
+    protocol-faithful detection heads. Conv/BN/head weights are
+    resolution-independent, so params flow across stages unchanged;
+    static-shape jax re-jits each stage at its canvas (anchors,
+    backbone shapes and loaders all re-derive from the stage config).
+    This is an opt-in departure from the reference protocol (square
+    1024 everywhere, reference model.py:978-983 + config.py:83-90),
+    like IMAGE_CANVAS and QUANT_INT8.
+
+    stages: list of dicts: {"canvas": int | (H, W), "epochs": E
+        (cumulative, Trainer.fit convention), "lr": float (defaults to
+        config.LEARNING_RATE), ...any Config field overrides (e.g.
+        IMAGES_PER_DEVICE — smaller canvases fit bigger batches)}.
+    make_iters(cfg) -> (train_iter, val_iter | None): build that
+        stage's loaders (canvas-dependent shapes).
+    Returns (params, trainers) — one Trainer per stage with its loss
+    history; checkpoints share `checkpoint_dir` with a continuing
+    epoch counter.
+    """
+    trainers = []
+    epoch = 0
+    for stage in stages:
+        stage = dict(stage)
+        canvas = stage.pop("canvas")
+        epochs = stage.pop("epochs")
+        lr = stage.pop("lr", base_config.LEARNING_RATE)
+        if isinstance(canvas, int):
+            canvas = (canvas, canvas)
+        side = max(canvas)
+        overrides = dict(
+            IMAGE_CANVAS=tuple(canvas),
+            IMAGE_MAX_DIM=side,
+            # keep the reference's min/max ratio so the resize policy
+            # scales with the canvas
+            IMAGE_MIN_DIM=max(1, round(base_config.IMAGE_MIN_DIM
+                                       * side / base_config.IMAGE_MAX_DIM)),
+        )
+        overrides.update(stage)
+        cfg = base_config.replace(**overrides)
+        model = MaskRCNN(cfg)
+        trainer = Trainer(model, checkpoint_dir=checkpoint_dir)
+        trainer.epoch = epoch
+        train_iter, val_iter = make_iters(cfg)
+        print(f"curriculum stage: canvas {cfg.IMAGE_SHAPE[:2]} to epoch "
+              f"{epochs} (batch {cfg.BATCH_SIZE}, lr {lr})")
+        rng, stage_rng = jax.random.split(rng)
+        params = trainer.fit(params, train_iter, lr, epochs, layers,
+                             stage_rng, val_iter=val_iter, **fit_kw)
+        epoch = trainer.epoch
+        trainers.append(trainer)
+    return params, trainers
