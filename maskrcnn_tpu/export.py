@@ -42,7 +42,8 @@ def _predict_fn(model):
 
 
 def export_predict(model, params, batch_size: int,
-                   platforms: Optional[Sequence[str]] = None) -> bytes:
+                   platforms: Optional[Sequence[str]] = None,
+                   mesh=None, dp_axis: str = "dp") -> bytes:
     """Serialize the end-to-end predict pipeline for `batch_size`.
 
     model: MaskRCNN (its config fixes the canvas / precision / quant
@@ -52,16 +53,37 @@ def export_predict(model, params, batch_size: int,
         do NOT enter the artifact.
     platforms: lowering platforms, e.g. ("tpu",) or ("tpu", "cpu").
         Default: the current default backend.
+    mesh: optional jax.sharding.Mesh — exports the MULTI-CHIP serving
+        program instead (params replicated, batch sharded on `dp_axis`;
+        the sharding annotations and collectives serialize with the
+        program, and `deserialize(...).call` re-runs it on any mesh of
+        the same device count; tests/test_export.py round-trips it on
+        the 8-device CPU mesh bit-identically). `batch_size` is global.
     Returns the serialized artifact bytes.
     """
-    h, w = model.config.IMAGE_SHAPE[:2]
-    p_spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
-        params)
-    im_spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8)
-    win_spec = jax.ShapeDtypeStruct((batch_size, 4), jnp.float32)
+    from jax.sharding import NamedSharding, PartitionSpec
 
-    fn = jax.jit(_predict_fn(model))
+    h, w = model.config.IMAGE_SHAPE[:2]
+    if mesh is not None:
+        repl = NamedSharding(mesh, PartitionSpec())
+        shard = NamedSharding(mesh, PartitionSpec(dp_axis))
+    else:
+        repl = shard = None
+
+    def spec(shape, dtype, s):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=s)
+
+    p_spec = jax.tree_util.tree_map(
+        lambda a: spec(jnp.shape(a), jnp.asarray(a).dtype, repl), params)
+    im_spec = spec((batch_size, h, w, 3), jnp.uint8, shard)
+    win_spec = spec((batch_size, 4), jnp.float32, shard)
+
+    if mesh is not None:
+        fn = jax.jit(_predict_fn(model),
+                     in_shardings=(repl, shard, shard),
+                     out_shardings=shard)
+    else:
+        fn = jax.jit(_predict_fn(model))
     exp = jax_export.export(
         fn, platforms=tuple(platforms) if platforms else None)(
             p_spec, im_spec, win_spec)

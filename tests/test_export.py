@@ -127,3 +127,32 @@ def test_runs_without_model_code(tmp_path):
     for k in want:
         np.testing.assert_array_equal(got[k], np.asarray(want[k]),
                                       err_msg=k)
+
+
+def test_sharded_export_roundtrip():
+    """Multi-chip serving artifact: the dp-sharded predict exports with
+    its sharding annotations + collectives and re-runs bit-identically
+    from deserialize on the 8-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, model, params = _tiny()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("dp"))
+
+    blob = ex.export_predict(model, params, batch_size=8, mesh=mesh)
+    call = ex.load_exported(blob)
+
+    images, windows = _inputs(cfg, b=8)
+    images = jax.device_put(images, shard)
+    windows = jax.device_put(windows, shard)
+    params_r = jax.device_put(params, repl)
+
+    want = jax.jit(
+        lambda p, im, w: predict_step(model, p, im, w),
+        in_shardings=(repl, shard, shard), out_shardings=shard)(
+            params_r, images, windows)
+    got = call(params_r, images, windows)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
