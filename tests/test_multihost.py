@@ -10,6 +10,13 @@ shard_batch's multi-process branch, runs one full sharded train step,
 and asserts the global metrics equal a single-process 8-device run over
 the identical global batch (SURVEY section 2.3 multi-slice DP).
 
+Parametrized over the mesh topology: a flat 8-way dp mesh AND the
+realistic multi-slice shape — a (dcn=2, dp=4) mesh whose leading axis
+falls exactly on the process boundary (global device order is
+process-major), i.e. slice == host, the deployment topology of a real
+2-slice v5e pod where gradient reduction goes ICI-within-slice then
+DCN-across (ROADMAP items 6-7, as far as CPU hardware can verify).
+
 Run standalone as a child:  python tests/test_multihost.py <pid> <port>
 """
 
@@ -61,7 +68,7 @@ class FakeDataset:
                 "gt_masks": masks, "gt_valid": valid}
 
 
-def _one_step(config, batch, barrier=None):
+def _one_step(config, batch, barrier=None, dcn=1):
     """One data-parallel train step; returns the metrics dict.
 
     `barrier(name)` (multi-process children only) rendezvouses at the
@@ -97,9 +104,14 @@ def _one_step(config, batch, barrier=None):
                                decay_mask(params, regex))
     opt_and_mask = (optimizer, lambda p, _m=tmask: _m)
 
-    mesh = make_mesh(config.NUM_DEVICES, axis=config.MESH_AXIS_DP)
-    pstep = make_parallel_train_step(model, opt_and_mask, mesh,
-                                     axis=config.MESH_AXIS_DP)
+    # dcn=2 is the realistic multi-slice topology: global device order is
+    # process-major, so the leading (dcn) mesh axis falls exactly on the
+    # process boundary — slice == host, gradients reduce intra-slice
+    # first, then across. axis=None shards the batch over both axes.
+    mesh = make_mesh(config.NUM_DEVICES, axis=config.MESH_AXIS_DP,
+                     dcn=dcn)
+    axis = None if dcn > 1 else config.MESH_AXIS_DP
+    pstep = make_parallel_train_step(model, opt_and_mask, mesh, axis=axis)
     if barrier is not None:
         barrier("pre_replicate")
     state = replicate(TrainState(step=np.int32(0), params=params,
@@ -113,7 +125,7 @@ def _one_step(config, batch, barrier=None):
     return {k: float(v) for k, v in metrics.items()}
 
 
-def _child_main(pid: int, port: int):
+def _child_main(pid: int, port: int, dcn: int = 1):
     import jax
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=N_PROC, process_id=pid)
@@ -146,7 +158,7 @@ def _child_main(pid: int, port: int):
         distributed.global_state.client.wait_at_barrier(
             f"multihost_test_{name}", timeout_in_ms=900_000)
 
-    metrics = _one_step(config, batch, barrier=barrier)
+    metrics = _one_step(config, batch, barrier=barrier, dcn=dcn)
     if pid == 0:
         with open(f"/tmp/multihost_metrics_{port}.json", "w") as f:
             json.dump(metrics, f)
@@ -154,7 +166,8 @@ def _child_main(pid: int, port: int):
 
 
 @pytest.mark.slow
-def test_two_process_dp_matches_single_process():
+@pytest.mark.parametrize("dcn", [1, 2], ids=["dp8", "dcn2xdp4"])
+def test_two_process_dp_matches_single_process(dcn):
     port = _free_port()
     out = f"/tmp/multihost_metrics_{port}.json"
     if os.path.exists(out):
@@ -189,7 +202,7 @@ def test_two_process_dp_matches_single_process():
                 for pid in range(N_PROC)]
         procs = [subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), str(pid),
-             str(port)],
+             str(port), str(dcn)],
             env=env, cwd=REPO, stdout=logs[pid], stderr=subprocess.STDOUT)
             for pid in range(N_PROC)]
         failure = None
@@ -253,4 +266,5 @@ def _free_port() -> int:
 
 
 if __name__ == "__main__":
-    _child_main(int(sys.argv[1]), int(sys.argv[2]))
+    _child_main(int(sys.argv[1]), int(sys.argv[2]),
+                int(sys.argv[3]) if len(sys.argv) > 3 else 1)
