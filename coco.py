@@ -54,7 +54,13 @@ def main():
                         metavar="<image count>",
                         help="Images to use for evaluation (default=500)")
     parser.add_argument("--devices", required=False, default=None, type=int,
-                        help="Data-parallel device count (default: all)")
+                        help="Device count for the mesh (default: all)")
+    parser.add_argument("--sp", required=False, default=1, type=int,
+                        help="Spatial partitioning: chips cooperating "
+                        "per image (shards the canvas-H dim; data-"
+                        "parallel width becomes devices/sp — the "
+                        "multi-chip HBM-relief knob for 1024px+ "
+                        "training)")
     parser.add_argument("--steps-per-epoch", required=False, default=None,
                         type=int, help="Override STEPS_PER_EPOCH "
                         "(smoke runs; default: config value 1000)")
@@ -84,7 +90,7 @@ def main():
 
     n_dev = args.devices or jax.device_count()
     if args.command == "train":
-        config = CocoConfig(NUM_DEVICES=n_dev,
+        config = CocoConfig(NUM_DEVICES=n_dev, SP_DEVICES=args.sp,
                             GRAD_ACCUM_STEPS=args.grad_accum)
         assert config.BATCH_SIZE % max(args.grad_accum, 1) == 0, (
             f"BATCH_SIZE {config.BATCH_SIZE} must divide by "
@@ -97,6 +103,7 @@ def main():
         # approximately-equal) device decode — serving keeps the device
         # path on.
         config = CocoInferenceConfig(NUM_DEVICES=n_dev,
+                                     SP_DEVICES=args.sp,
                                      DEVICE_MASK_DECODE=False)
     config.display()
 

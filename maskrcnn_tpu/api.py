@@ -63,13 +63,16 @@ class Detector:
         self._calib_stats_path = calib_stats_path
         # batch-sharded eval sweeps over a dp mesh (SURVEY section 2.3):
         # with NUM_DEVICES > 1 each detect_batch shards its images over
-        # the mesh and XLA runs them in parallel
+        # the mesh and XLA runs them in parallel. SP_DEVICES > 1 adds
+        # the spatial axis: sp chips cooperate per image (canvas-H
+        # sharded backbone — the multi-chip low-latency shape).
         self._mesh = None
         if config.NUM_DEVICES > 1:
             from maskrcnn_tpu.parallel import (make_mesh,
                                                make_parallel_predict)
             self._mesh = make_mesh(config.NUM_DEVICES,
-                                   axis=config.MESH_AXIS_DP)
+                                   axis=config.MESH_AXIS_DP,
+                                   sp=config.SP_DEVICES)
             self._parallel_predict = make_parallel_predict(
                 self.model, self._mesh)
         if params is None:
@@ -172,10 +175,12 @@ class Detector:
     def _run_predict(self, batch: np.ndarray, win: np.ndarray):
         if self._mesh is None:
             return predict_step(self.model, self.params, batch, win)
-        # shard over the mesh, padding the batch to a multiple of it
+        # shard over the mesh, padding the batch to a multiple of its
+        # data width (the sp axis shards H, not the batch)
         from maskrcnn_tpu.parallel import shard_batch
         b = batch.shape[0]
-        pad = (-b) % self._mesh.size
+        data_width = self._mesh.size // dict(self._mesh.shape).get("sp", 1)
+        pad = (-b) % data_width
         if pad:
             batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
             win = np.concatenate([win, win[-1:].repeat(pad, 0)])

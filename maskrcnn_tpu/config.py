@@ -31,6 +31,15 @@ class Config:
     # devices in the data-parallel mesh axis.
     NUM_DEVICES: int = 1
     IMAGES_PER_DEVICE: int = 1
+    # Spatial partitioning: groups of SP_DEVICES ICI-adjacent chips
+    # cooperate per image, sharding the canvas-H dim (parallel.make_mesh
+    # sp axis; GSPMD inserts the conv halo exchanges). Divides per-image
+    # activation HBM — the escape hatch from the 1024px training HBM
+    # wall (BENCHMARKS.md) and the multi-chip low-latency serving shape.
+    # NUM_DEVICES counts ALL mesh devices; the data-parallel width is
+    # NUM_DEVICES // SP_DEVICES and IMAGES_PER_DEVICE means images per
+    # sp GROUP.
+    SP_DEVICES: int = 1
 
     STEPS_PER_EPOCH: int = 1000
     VALIDATION_STEPS: int = 50
@@ -174,7 +183,11 @@ class Config:
     # ---- computed attributes (reference: config.py:145-164) ----
     @property
     def BATCH_SIZE(self) -> int:
-        return self.IMAGES_PER_DEVICE * max(self.NUM_DEVICES, 1)
+        n = max(self.NUM_DEVICES, 1)
+        assert n % self.SP_DEVICES == 0, (
+            f"NUM_DEVICES={n} not divisible by SP_DEVICES="
+            f"{self.SP_DEVICES}")
+        return self.IMAGES_PER_DEVICE * (n // self.SP_DEVICES)
 
     @property
     def IMAGE_SHAPE(self) -> Tuple[int, int, int]:

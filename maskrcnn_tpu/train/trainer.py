@@ -145,7 +145,8 @@ class Trainer:
                                            make_parallel_eval_losses,
                                            make_parallel_train_step,
                                            replicate, shard_batch)
-        mesh = make_mesh(cfg.NUM_DEVICES, axis=cfg.MESH_AXIS_DP)
+        mesh = make_mesh(cfg.NUM_DEVICES, axis=cfg.MESH_AXIS_DP,
+                         sp=cfg.SP_DEVICES)
         pstep = make_parallel_train_step(self.model, opt_and_mask,
                                          mesh, axis=cfg.MESH_AXIS_DP)
         # validation mirrors the train path: params replicated, batch
@@ -156,7 +157,9 @@ class Trainer:
         # state never consumes the caller's param buffers
         state = replicate(state, mesh)
         if cfg.NUM_DEVICES > 1:
-            print(f"Data-parallel mesh: {dict(mesh.shape)} "
+            kind = ("Data-parallel" if cfg.SP_DEVICES == 1
+                    else "Data+spatial-parallel")
+            print(f"{kind} mesh: {dict(mesh.shape)} "
                   f"(global batch {cfg.BATCH_SIZE})")
 
         for epoch in range(self.epoch + 1, epochs + 1):

@@ -9,8 +9,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU hard-aborts (SIGABRT, rendezvous.cc) any collective whose
+    # participant threads don't all arrive within 40 s. The spatially
+    # partitioned graphs run hundreds of halo collectives over 8 virtual
+    # devices on however few cores the test host has — under load that
+    # deadline is reachable, so raise it (correctness tests don't care
+    # about stuck-detection latency).
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+             + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+             ).strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
