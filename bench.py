@@ -139,11 +139,17 @@ def bench_detector(batch: int = 32, rounds: int = 3) -> float:
     # visible in the record.
     blob = np.zeros((64, 1024, 1024), np.uint8)  # 64MB
     t0 = time.perf_counter()
-    jax.device_put(blob).block_until_ready()
+    dev = jax.device_put(blob)
+    dev.block_until_ready()
     h2d = 64.0 / (time.perf_counter() - t0)
+    # d2h is the bigger e2e term (packed original-coordinate masks are
+    # a few MB/img out) and tunnels are often asymmetric — record both.
+    t0 = time.perf_counter()
+    np.asarray(dev)
+    d2h = 64.0 / (time.perf_counter() - t0)
     print(f"detector end-to-end: {ips:.2f} img/s (batch {batch}); "
-          f"h2d {h2d:.1f} MB/s", file=sys.stderr)
-    return ips, h2d
+          f"h2d {h2d:.1f} MB/s, d2h {d2h:.1f} MB/s", file=sys.stderr)
+    return ips, h2d, d2h
 
 
 def bench_detector_serving(batch: int = 32, rounds: int = 4) -> float:
@@ -205,11 +211,11 @@ if __name__ == "__main__":
     else:
         value, batch, cfg_name = value_bf16, batch_bf16, "bf16"
     try:
-        e2e, h2d = bench_detector()
-        e2e, h2d = round(e2e, 3), round(h2d, 1)
+        e2e, h2d, d2h = bench_detector()
+        e2e, h2d, d2h = round(e2e, 3), round(h2d, 1), round(d2h, 1)
     except Exception as e:
         print(f"detector bench failed: {e}", file=sys.stderr)
-        e2e = h2d = None
+        e2e = h2d = d2h = None
     try:
         e2e_serving = round(bench_detector_serving(), 3)
     except Exception as e:
@@ -232,12 +238,14 @@ if __name__ == "__main__":
         # preprocess + original-coordinate mask decode (the honest
         # `coco.py evaluate` per-image cost, sans JPEG/RLE). In this
         # dev harness it is bounded by the host<->device tunnel
-        # (~5MB moved per image at harness_h2d_MBps) — co-located
-        # PCIe serving tracks the headline device rate.
+        # (~5MB moved per image, dominated by the d2h mask fetch at
+        # harness_d2h_MBps) — co-located PCIe serving tracks the
+        # headline device rate.
         "detector_e2e_img_per_sec": e2e,
         # same span in the serving configuration: DEVICE_RESIZE (raw
         # pixels h2d instead of canvases) + 2-deep dispatch/fetch
         # pipelining — what serving.BatchingDetector deploys.
         "detector_serving_img_per_sec": e2e_serving,
         "harness_h2d_MBps": h2d,
+        "harness_d2h_MBps": d2h,
     }))

@@ -289,8 +289,27 @@ class Detector:
         dev, use_device, images, windows, scales = handle
         cfg = self.config
         cw = cfg.IMAGE_SHAPE[1]
-        fetched = jax.device_get(dev)
-        packed = fetched["masks_packed"]
+        # The padded [B, D, ...] packed-mask tensor dominates d2h
+        # (D slots, few real detections). mrn_refine packs survivors
+        # into a PREFIX of the D axis (pipeline.py rank/take), so fetch
+        # the small tensors first and pull only the mask slots that can
+        # hold a valid detection — on an asymmetric link (bench.py
+        # records d2h) this is most of the end-to-end cost.
+        fetched = jax.device_get(
+            {k: dev[k] for k in ("class_ids", "scores", "boxes",
+                                 "valid")})
+        counts = fetched["valid"].sum(axis=-1).astype(int)
+        d_slots = int(dev["masks_packed"].shape[1])
+        is_prefix = bool(np.all(
+            fetched["valid"] ==
+            (np.arange(d_slots)[None, :] < counts[:, None])))
+        n = int(counts.max()) if counts.size else 0
+        if not is_prefix:  # defensive: never drop a valid mask
+            n = d_slots
+        packed = (jax.device_get(dev["masks_packed"][:, :n]) if n > 0
+                  else np.zeros((len(counts), 0)
+                                + dev["masks_packed"].shape[2:],
+                                np.uint8))
 
         def decode_one(i):
             img = images[i]
@@ -302,14 +321,16 @@ class Detector:
             boxes = decode_boxes(fetched["boxes"][i][valid], scales[i],
                                  windows[i]).tolist()
             # unpack bits per image AFTER the valid slice — unpacking
-            # the whole padded batch up front costs seconds at batch 32
+            # the whole padded batch up front costs seconds at batch 32.
+            # `packed` holds only the leading n slots; this image's
+            # valid masks are its first counts[i] of them (prefix).
+            pi = packed[i][valid[:packed.shape[1]]]
             if use_device:
                 oh, ow = img.shape[:2]
-                masks = np.unpackbits(
-                    packed[i][valid], axis=-1)[:, :oh, :ow]
+                masks = np.unpackbits(pi, axis=-1)[:, :oh, :ow]
             else:
                 mf = np.unpackbits(
-                    packed[i][valid], axis=-1)[..., :cw].astype(bool)
+                    pi, axis=-1)[..., :cw].astype(bool)
                 masks = decode_masks(mf, scales[i], windows[i],
                                      img.shape[0], img.shape[1])
             return (class_ids, scores, boxes, masks)

@@ -26,14 +26,42 @@ def checkpoint_path(run_dir: str, epoch: int) -> str:
     return os.path.join(os.path.abspath(run_dir), f"epoch_{epoch:04d}")
 
 
+_ckptr = None
+
+
+def _checkpointer():
+    """One process-wide StandardCheckpointer (it IS an orbax
+    AsyncCheckpointer: save() copies device->host synchronously, then
+    writes to disk on a background thread)."""
+    global _ckptr
+    if _ckptr is None:
+        _ckptr = _ocp().StandardCheckpointer()
+    return _ckptr
+
+
 def save_checkpoint(run_dir: str, params: Dict, epoch: int,
-                    config=None) -> str:
-    ocp = _ocp()
+                    config=None, block: bool = True) -> str:
+    """Save params as `run_dir/epoch_<n>`.
+
+    block=False overlaps the disk write with continued training (the
+    Trainer's per-epoch saves): orbax snapshots to host memory before
+    returning, so the caller may keep donating/updating the live params;
+    call `wait_for_saves()` before reading the files or exiting.
+    Partially written checkpoints are invisible to `latest_epoch`
+    (orbax writes to a tmp dir and renames on finalize)."""
     path = checkpoint_path(run_dir, epoch)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(params), force=True)
-    ckptr.wait_until_finished()
+    ckptr = _checkpointer()
+    ckptr.save(path, jax.device_get(params) if block else params,
+               force=True)
+    if block:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until every pending async `save_checkpoint` finished."""
+    if _ckptr is not None:
+        _ckptr.wait_until_finished()
 
 
 def prune_checkpoints(run_dir: str, keep_last: int = 5) -> None:

@@ -164,7 +164,16 @@ class Trainer:
 
         for epoch in range(self.epoch + 1, epochs + 1):
             t0 = time.time()
-            sums: Dict[str, float] = {}
+            # Per-step metrics stay ON DEVICE until a log point or epoch
+            # end: a float() every step is a host-device round-trip that
+            # stalls the dispatch pipeline (30+ ms over a remote link vs
+            # a ~0.7 s step — and the whole step time at small scales).
+            # The non-finite guard runs IN-GRAPH (train_step keeps the
+            # old state), so nothing on the host needs per-step truth;
+            # skipped steps are reported at log points and counted at
+            # epoch end. Each metrics dict is 6 scalars — holding an
+            # epoch of them costs nothing.
+            pending = []
             for step in range(steps_per_epoch):
                 batch = next(train_iter)
                 rng, key = jax.random.split(rng)
@@ -176,33 +185,39 @@ class Trainer:
                 else:
                     batch = shard_batch(batch, mesh)
                 state, metrics = pstep(state, batch, replicate(key, mesh))
-                # failure guard (the reference has none, SURVEY section
-                # 5): a non-finite loss skips the update in-graph
-                # (train_step keeps the old state); just report it here.
-                if not np.isfinite(float(metrics["total"])):
-                    print(f"  WARNING: non-finite loss at epoch {epoch} "
-                          f"step {step + 1}; step skipped")
-                    continue
+                pending.append(metrics)
                 if (step + 1) % self.log_every == 0 or step == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(m["total"]):
+                        print(f"  WARNING: non-finite loss at epoch "
+                              f"{epoch} step {step + 1}; step skipped "
+                              "in-graph")
                     print(f"  epoch {epoch} step {step + 1}/"
                           f"{steps_per_epoch} " +
                           " ".join(f"{k}={v:.4f}" for k, v in m.items()))
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v) / steps_per_epoch
+            # one bulk fetch for the epoch (device compute already done)
+            vals = jax.device_get(pending)
+            finite = [v for v in vals if np.isfinite(v["total"])]
+            if len(finite) < len(vals):
+                print(f"  WARNING: {len(vals) - len(finite)} non-finite "
+                      f"step(s) in epoch {epoch} were skipped in-graph")
+            sums = {k: float(sum(v[k] for v in finite)) / steps_per_epoch
+                    for k in vals[0]} if vals else {}
             self.loss_history.append(sums)
 
             if val_iter is not None:
-                vsums: Dict[str, float] = {}
+                vpending = []
                 for _ in range(validation_steps):
                     batch = next(val_iter)
                     rng, key = jax.random.split(rng)
                     batch = shard_batch(batch, mesh)
-                    losses = peval(state.params, replicate(key, mesh),
-                                   batch)
-                    for k, v in losses.as_dict().items():
-                        vsums[k] = (vsums.get(k, 0.0)
-                                    + float(v) / validation_steps)
+                    vpending.append(peval(state.params,
+                                          replicate(key, mesh),
+                                          batch).as_dict())
+                vvals = jax.device_get(vpending)  # one bulk fetch
+                vsums = {k: float(sum(v[k] for v in vvals))
+                         / validation_steps
+                         for k in vvals[0]} if vvals else {}
                 self.val_loss_history.append(vsums)
 
             self.epoch = epoch
@@ -212,13 +227,19 @@ class Trainer:
             if self.checkpoint_dir:
                 from maskrcnn_tpu.checkpoint.store import (
                     prune_checkpoints, save_checkpoint)
+                # async: the disk write overlaps the next epoch (orbax
+                # snapshots to host before returning, so the donated/
+                # updated live params are safe); waited on at fit end.
                 save_checkpoint(self.checkpoint_dir, state.params,
-                                epoch, self.model.config)
+                                epoch, self.model.config, block=False)
                 prune_checkpoints(self.checkpoint_dir, self.keep_last)
             self._plot_losses()
             if on_epoch_end is not None:
                 on_epoch_end(self, state.params)
 
+        if self.checkpoint_dir:
+            from maskrcnn_tpu.checkpoint.store import wait_for_saves
+            wait_for_saves()
         return jax.device_get(state.params)
 
     def fit_coco_schedule(self, params, train_iter, rng,

@@ -138,6 +138,30 @@ def test_orbax_save_load_resume(model_params, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_save_overlaps_and_roundtrips(model_params, tmp_path):
+    """block=False returns before the write finishes; after
+    wait_for_saves the checkpoint loads bit-exact, even though the live
+    params were mutated (donated-buffer style) right after save()."""
+    import jax.numpy as jnp
+
+    from maskrcnn_tpu.checkpoint.store import wait_for_saves
+
+    model, params = model_params
+    run_dir = str(tmp_path / "run")
+    snapshot = jax.device_get(params)
+    save_checkpoint(run_dir, params, 1, block=False)
+    # mutate the live tree immediately — orbax must have snapshotted
+    mutated = jax.tree_util.tree_map(lambda p: jnp.asarray(p) + 1.0,
+                                     params)
+    del params
+    wait_for_saves()
+    assert latest_epoch(run_dir) == 1
+    loaded, _ = load_checkpoint(run_dir, mutated)
+    for a, b in zip(jax.tree_util.tree_leaves(snapshot),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_prune_and_best(model_params, tmp_path):
     """keep-last-N retention + best-epoch marker (ROADMAP item 10)."""
     from maskrcnn_tpu.checkpoint.store import (best_epoch, latest_epoch,
