@@ -186,6 +186,12 @@ class Trainer:
                     batch = shard_batch(batch, mesh)
                 state, metrics = pstep(state, batch, replicate(key, mesh))
                 pending.append(metrics)
+                # bound host run-ahead to 2 in-flight steps: enough to
+                # overlap host data work with device compute, without
+                # piling queued batch buffers (hundreds of MB each at
+                # 1024px) into HBM ahead of the device
+                if step >= 2:
+                    jax.block_until_ready(pending[step - 2]["total"])
                 if (step + 1) % self.log_every == 0 or step == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(m["total"]):
@@ -214,6 +220,9 @@ class Trainer:
                     vpending.append(peval(state.params,
                                           replicate(key, mesh),
                                           batch).as_dict())
+                    if len(vpending) > 2:  # same run-ahead bound
+                        jax.block_until_ready(
+                            vpending[len(vpending) - 3]["total"])
                 vvals = jax.device_get(vpending)  # one bulk fetch
                 vsums = {k: float(sum(v[k] for v in vvals))
                          / validation_steps

@@ -111,6 +111,70 @@ def test_train_step_sp_matches_single_device():
 
 
 @pytest.mark.slow
+def test_detector_sp_mesh_pads_to_data_width():
+    """Detector on a (dp=2, sp=2) mesh: batches pad to the DATA width
+    (2), not the mesh size (4), and results match the unsharded
+    Detector — exercising the sp serving shape end-to-end through the
+    public API (including the prefix-sliced mask fetch)."""
+    from maskrcnn_tpu.api import Detector
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 256, (96, 128, 3), np.uint8)
+            for _ in range(3)]  # 3 % data_width(2) != 0 -> pads to 4
+
+    ref_det = Detector(TinyConfig())
+    sp_det = Detector(TinyConfig(NUM_DEVICES=4, SP_DEVICES=2),
+                      params=ref_det.params)
+    ref = ref_det.detect_batch(imgs)
+    out = sp_det.detect_batch(imgs)
+    assert len(out) == 3
+    for r, o in zip(ref, out):
+        assert (r is None) == (o is None)
+        if r is None:
+            continue
+        np.testing.assert_array_equal(r[0], o[0])  # class_ids
+        np.testing.assert_allclose(r[1], o[1], atol=1e-3)  # scores
+        np.testing.assert_allclose(np.asarray(r[2]), np.asarray(o[2]),
+                                   atol=0.5)  # boxes
+        assert np.mean(np.asarray(r[3]) != np.asarray(o[3])) < 0.01
+
+
+@pytest.mark.slow
+def test_quant_int8_composes_with_sp():
+    """The int8 serving path under spatial partitioning: the quantized
+    backbone's int8 convs partition over the sp axis like the float
+    ones, and detections match the unpartitioned int8 run."""
+    from maskrcnn_tpu.detection.pipeline import predict_step
+    from maskrcnn_tpu.quant import (default_calib_canvases,
+                                    prepare_quant_params)
+
+    cfg = TinyConfig(QUANT_INT8=True)
+    model = MaskRCNN(cfg)
+    fparams = model.init(jax.random.PRNGKey(0))
+    params = prepare_quant_params(
+        model, fparams,
+        calib_images=default_calib_canvases(cfg.IMAGE_SHAPE))
+    rng = np.random.RandomState(11)
+    d = cfg.IMAGE_SHAPE[0]
+    images = rng.randint(0, 256, (2, d, d, 3), np.uint8)
+    windows = np.asarray([[0, 0, d, d]] * 2, np.float32)
+
+    ref = jax.device_get(predict_step(model, params, jnp.asarray(images),
+                                      jnp.asarray(windows)))
+
+    cfg_sp = TinyConfig(QUANT_INT8=True, NUM_DEVICES=4, SP_DEVICES=2)
+    mesh = make_mesh(4, sp=2)
+    ppredict = make_parallel_predict(MaskRCNN(cfg_sp), mesh)
+    out = jax.device_get(ppredict(replicate(params, mesh), images,
+                                  windows))
+    np.testing.assert_array_equal(out["valid"], ref["valid"])
+    v = np.asarray(ref["valid"])
+    np.testing.assert_array_equal(out["class_ids"][v], ref["class_ids"][v])
+    np.testing.assert_allclose(out["scores"][v], ref["scores"][v],
+                               rtol=0, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_predict_sp_matches_single_device():
     """Spatially partitioned inference returns the same detections."""
     from maskrcnn_tpu.detection.pipeline import predict_step
