@@ -166,10 +166,13 @@ class Detector:
     def detect(self, image: np.ndarray):
         """Single image -> (class_ids, scores, boxes, masks) in original
         coords; returns (None, None, None, None) when nothing is found,
-        matching the reference contract (model.py:1120-1121)."""
+        matching the reference contract (model.py:1120-1121). With
+        NUM_KEYPOINTS > 0 the tuple gains a 5th element: per-detection
+        keypoints [n, K, 3] (y, x, score) in original coords."""
         out = self.detect_batch([image])[0]
         if out is None:
-            return None, None, None, None
+            n = 5 if self.config.NUM_KEYPOINTS > 0 else 4
+            return (None,) * n
         return out
 
     def _run_predict(self, batch: np.ndarray, win: np.ndarray):
@@ -282,6 +285,8 @@ class Detector:
             # traffic than bool)
             dev = {k: out[k] for k in (
                 "class_ids", "scores", "boxes", "valid", "masks_packed")}
+        if "keypoints" in out:  # NUM_KEYPOINTS > 0
+            dev["keypoints"] = out["keypoints"]
         return dev, use_device, images, windows, scales
 
     def fetch(self, handle):
@@ -295,9 +300,10 @@ class Detector:
         # the small tensors first and pull only the mask slots that can
         # hold a valid detection — on an asymmetric link (bench.py
         # records d2h) this is most of the end-to-end cost.
-        fetched = jax.device_get(
-            {k: dev[k] for k in ("class_ids", "scores", "boxes",
-                                 "valid")})
+        small = ["class_ids", "scores", "boxes", "valid"]
+        if "keypoints" in dev:
+            small.append("keypoints")
+        fetched = jax.device_get({k: dev[k] for k in small})
         counts = fetched["valid"].sum(axis=-1).astype(int)
         d_slots = int(dev["masks_packed"].shape[1])
         is_prefix = bool(np.all(
@@ -333,7 +339,15 @@ class Detector:
                     pi, axis=-1)[..., :cw].astype(bool)
                 masks = decode_masks(mf, scales[i], windows[i],
                                      img.shape[0], img.shape[1])
-            return (class_ids, scores, boxes, masks)
+            if "keypoints" not in fetched:
+                return (class_ids, scores, boxes, masks)
+            # keypoint branch on: results gain a 5th element —
+            # [n, K, 3] (y, x, score) in original image coords (the
+            # boxes' canvas->original transform, minus the box quirk)
+            kp = fetched["keypoints"][i][valid].astype(np.float64)
+            kp[..., 0] = (kp[..., 0] - windows[i][0]) / (scales[i] + 1e-5)
+            kp[..., 1] = (kp[..., 1] - windows[i][1]) / (scales[i] + 1e-5)
+            return (class_ids, scores, boxes, masks, kp)
 
         # host decode fallback is PIL-bound (~50 resizes each); PIL and
         # numpy release the GIL, so thread across images to keep pace

@@ -72,6 +72,19 @@ class Config:
     MASK_POOL_SIZE: int = 14
     MASK_SHAPE: Tuple[int, int] = (28, 28)
 
+    # ---- Keypoint branch (beyond the reference: the Mask R-CNN
+    # paper's third task head; delldu/MaskRCNN implements boxes+masks
+    # only). 0 disables the branch entirely — the default model,
+    # params, and losses are bit-identical to the two-head build.
+    # 17 = COCO person keypoints. The head pools at MASK_POOL_SIZE
+    # (shares the mask head's RoIAlign tables) and regresses one
+    # KEYPOINT_SHAPE heatmap per keypoint, trained with a spatial
+    # softmax cross-entropy at the ground-truth position.
+    NUM_KEYPOINTS: int = 0
+    KEYPOINT_SHAPE: Tuple[int, int] = (56, 56)
+    KEYPOINT_HEAD_CONVS: int = 8   # Detectron keypoint-head depth
+    KEYPOINT_HEAD_DIM: int = 512
+
     MAX_GT_INSTANCES: int = 50
 
     RPN_BBOX_STD_DEV: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)

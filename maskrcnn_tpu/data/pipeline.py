@@ -122,6 +122,8 @@ class SyntheticLoader:
         boxes = np.zeros((b, g, 4), np.float32)
         valid = np.zeros((b, g), bool)
         masks = np.zeros((b, g, ch, cw), np.uint8)
+        k = getattr(cfg, "NUM_KEYPOINTS", 0)
+        kps = np.zeros((b, g, k, 3), np.float32) if k else None
         for i in range(b):
             for j in range(3):
                 y1 = rng.uniform(0, ch * 0.5)
@@ -134,8 +136,19 @@ class SyntheticLoader:
                 yy, xx = boxes[i, j].astype(int)[:2], boxes[i, j].astype(
                     int)[2:]
                 masks[i, j, yy[0]:xx[0], yy[1]:xx[1]] = 1
-        return {"images": images, "gt_class_ids": cls, "gt_boxes": boxes,
-                "gt_masks": masks, "gt_valid": valid}
+                if k:
+                    # labeled keypoints scattered inside the box (y, x,
+                    # v); every 5th unlabeled to exercise the v=0 path
+                    by1, bx1, by2, bx2 = boxes[i, j]
+                    kps[i, j, :, 0] = rng.uniform(by1, by2, k)
+                    kps[i, j, :, 1] = rng.uniform(bx1, bx2, k)
+                    kps[i, j, :, 2] = 2.0
+                    kps[i, j, ::5, 2] = 0.0
+        out = {"images": images, "gt_class_ids": cls, "gt_boxes": boxes,
+               "gt_masks": masks, "gt_valid": valid}
+        if k:
+            out["gt_keypoints"] = kps
+        return out
 
     def __iter__(self):
         return self

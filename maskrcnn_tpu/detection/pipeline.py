@@ -243,6 +243,30 @@ def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
     return det, pooled_m
 
 
+def decode_keypoints(config: Config, kp_logits: jnp.ndarray,
+                     boxes: jnp.ndarray, valid: jnp.ndarray):
+    """Heatmap argmax -> canvas keypoint coordinates.
+
+    kp_logits: [N, Hh, Wh, K] logits; boxes: [N, 4] canvas pixel
+    (y1, x1, y2, x2); valid: [N] bool.
+    Returns [N, K, 3] float32 (y, x, score): the center of the argmax
+    heatmap cell mapped back into the box, score = spatial softmax
+    peak probability. Invalid detections decode to zeros.
+    """
+    n, hh, hw, k = kp_logits.shape
+    flat = jnp.moveaxis(kp_logits, -1, 1).reshape(n, k, hh * hw)
+    probs = jax.nn.softmax(flat, axis=-1)
+    idx = jnp.argmax(flat, axis=-1)                       # [N, K]
+    score = jnp.take_along_axis(probs, idx[..., None], axis=-1)[..., 0]
+    iy = (idx // hw).astype(jnp.float32)
+    ix = (idx % hw).astype(jnp.float32)
+    y1, x1, y2, x2 = [boxes[:, i, None] for i in range(4)]
+    y = y1 + (iy + 0.5) / hh * (y2 - y1)
+    x = x1 + (ix + 0.5) / hw * (x2 - x1)
+    out = jnp.stack([y, x, score], axis=-1)               # [N, K, 3]
+    return jnp.where(valid[:, None, None], out, 0.0)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
                  windows: jnp.ndarray) -> Dict[str, Any]:
@@ -277,10 +301,19 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
         sel.reshape(b * d, *sel.shape[2:]),
         det.boxes.reshape(b * d, 4),
         det.valid.reshape(b * d), h, w)
-    return {
+    out = {
         "class_ids": det.class_ids,
         "scores": det.scores,
         "boxes": det.boxes,
         "valid": det.valid,
         "masks_packed": packed.reshape(b, d, h, packed.shape[-1]),
     }
+    if config.NUM_KEYPOINTS > 0:
+        # keypoint branch on the same pooled RoIs the mask head used
+        kp_logits = model.predict_keypoints(
+            params, pooled_m.reshape(b * d, *pooled_m.shape[2:]))
+        kp = decode_keypoints(config, kp_logits,
+                              det.boxes.reshape(b * d, 4),
+                              det.valid.reshape(b * d))
+        out["keypoints"] = kp.reshape(b, d, config.NUM_KEYPOINTS, 3)
+    return out

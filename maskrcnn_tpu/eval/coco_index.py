@@ -128,6 +128,14 @@ class COCO:
         res.dataset["categories"] = copy.deepcopy(
             self.dataset.get("categories", []))
         for aid, ann in enumerate(anns):
+            if "keypoints" in ann and "bbox" not in ann:
+                # keypoint results: bbox/area from the keypoint extent
+                # (pycocotools coco.py loadRes keypoints branch)
+                s = ann["keypoints"]
+                x, y = s[0::3], s[1::3]
+                x0, x1, y0, y1 = min(x), max(x), min(y), max(y)
+                ann["bbox"] = [x0, y0, x1 - x0, y1 - y0]
+                ann["area"] = (x1 - x0) * (y1 - y0)
             if "segmentation" in ann and "bbox" not in ann:
                 ann["bbox"] = rle_lib.to_bbox(ann["segmentation"]).tolist()
             if "bbox" in ann and "area" not in ann:

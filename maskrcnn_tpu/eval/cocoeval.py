@@ -23,17 +23,32 @@ from maskrcnn_tpu.eval import rle as rle_lib
 class Params:
     """Evaluation protocol constants (cocoeval.py:499-533 equivalents)."""
 
+    # COCO per-keypoint OKS falloff constants (pycocotools
+    # cocoeval.py kpt_oks_sigmas; the 17 person keypoints)
+    KPT_OKS_SIGMAS = np.array([
+        .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+        1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
     def __init__(self, iouType: str = "segm"):
         self.imgIds: List[int] = []
         self.catIds: List[int] = []
         self.iouThrs = np.linspace(0.5, 0.95, 10)
         self.recThrs = np.linspace(0.0, 1.0, 101)
-        self.maxDets = [1, 10, 100]
-        self.areaRng = [[0.0, 1e10], [0.0, 32.0 ** 2],
-                        [32.0 ** 2, 96.0 ** 2], [96.0 ** 2, 1e10]]
-        self.areaRngLbl = ["all", "small", "medium", "large"]
         self.useCats = 1
         self.iouType = iouType
+        if iouType == "keypoints":
+            # keypoint protocol (pycocotools setKpParams): 20 dets,
+            # no "small" bucket, per-keypoint OKS sigmas
+            self.maxDets = [20]
+            self.areaRng = [[0.0, 1e10], [32.0 ** 2, 96.0 ** 2],
+                            [96.0 ** 2, 1e10]]
+            self.areaRngLbl = ["all", "medium", "large"]
+            self.kpt_oks_sigmas = self.KPT_OKS_SIGMAS.copy()
+        else:
+            self.maxDets = [1, 10, 100]
+            self.areaRng = [[0.0, 1e10], [0.0, 32.0 ** 2],
+                            [32.0 ** 2, 96.0 ** 2], [96.0 ** 2, 1e10]]
+            self.areaRngLbl = ["all", "small", "medium", "large"]
 
 
 class COCOeval:
@@ -65,6 +80,11 @@ class COCOeval:
         self._dts = defaultdict(list)
         for gt in gts:
             gt["ignore"] = gt.get("ignore", 0) or gt.get("iscrowd", 0)
+            if p.iouType == "keypoints":
+                # gts with no labeled keypoints are ignore regions
+                # (pycocotools cocoeval.py:111-112)
+                gt["ignore"] = (gt.get("num_keypoints", 0) == 0) \
+                    or gt["ignore"]
             self._gts[gt["image_id"], gt["category_id"]].append(gt)
         for dt in dts:
             self._dts[dt["image_id"], dt["category_id"]].append(dt)
@@ -72,6 +92,8 @@ class COCOeval:
     # ---------------------------------------------------------- IoU --
     def computeIoU(self, imgId, catId) -> np.ndarray:
         p = self.params
+        if p.iouType == "keypoints":
+            return self.computeOks(imgId, catId)
         gt = self._gts[imgId, catId]
         dt = self._dts[imgId, catId]
         if len(gt) == 0 or len(dt) == 0:
@@ -85,6 +107,46 @@ class COCOeval:
             d = [o["bbox"] for o in dt]
         iscrowd = [int(o.get("iscrowd", 0)) for o in gt]
         return rle_lib.iou(d, g, iscrowd)  # [D, G]
+
+    def computeOks(self, imgId, catId) -> np.ndarray:
+        """Object Keypoint Similarity matrix [D, G] (pycocotools
+        cocoeval.py computeOks): per-keypoint gaussians with the COCO
+        falloff sigmas, normalised by sqrt(gt area); gts with no
+        labeled keypoints score dts by distance outside the 2x-expanded
+        gt box instead."""
+        p = self.params
+        gts = self._gts[imgId, catId]
+        dts = sorted(self._dts[imgId, catId],
+                     key=lambda d: -d["score"])[:p.maxDets[-1]]
+        if len(gts) == 0 or len(dts) == 0:
+            return np.zeros((0, 0))
+        sigmas = p.kpt_oks_sigmas
+        var = (sigmas * 2.0) ** 2
+        k = len(sigmas)
+        ious = np.zeros((len(dts), len(gts)))
+        for j, gt in enumerate(gts):
+            g = np.array(gt["keypoints"], np.float64)
+            xg, yg, vg = g[0::3], g[1::3], g[2::3]
+            k1 = np.count_nonzero(vg > 0)
+            bb = gt["bbox"]
+            x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+            y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+            for i, dt in enumerate(dts):
+                d = np.array(dt["keypoints"], np.float64)
+                xd, yd = d[0::3], d[1::3]
+                if k1 > 0:
+                    dx, dy = xd - xg, yd - yg
+                else:
+                    # dt keypoints vs the expanded gt box
+                    z = np.zeros((k,))
+                    dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                    dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+                e = ((dx ** 2 + dy ** 2) / var
+                     / (gt["area"] + np.spacing(1)) / 2.0)
+                if k1 > 0:
+                    e = e[vg > 0]
+                ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+        return ious
 
     # ------------------------------------------------------ matching --
     def evaluateImg(self, imgId, catId, aRng, maxDet) -> Optional[dict]:
@@ -269,6 +331,8 @@ class COCOeval:
     def summarize(self):
         if not self.eval:
             raise Exception("Please run accumulate() first")
+        if self.params.iouType == "keypoints":
+            return self._summarize_kps()
         md = self.params.maxDets
         stats = np.zeros(12)
         stats[0] = self._summarize(1, maxDets=md[-1])
@@ -283,6 +347,22 @@ class COCOeval:
         stats[9] = self._summarize(0, areaRng="small", maxDets=md[-1])
         stats[10] = self._summarize(0, areaRng="medium", maxDets=md[-1])
         stats[11] = self._summarize(0, areaRng="large", maxDets=md[-1])
+        self.stats = stats
+
+    def _summarize_kps(self):
+        """Keypoint 10-line summary (pycocotools _summarizeKps)."""
+        md = self.params.maxDets[-1]
+        stats = np.zeros(10)
+        stats[0] = self._summarize(1, maxDets=md)
+        stats[1] = self._summarize(1, maxDets=md, iouThr=0.5)
+        stats[2] = self._summarize(1, maxDets=md, iouThr=0.75)
+        stats[3] = self._summarize(1, maxDets=md, areaRng="medium")
+        stats[4] = self._summarize(1, maxDets=md, areaRng="large")
+        stats[5] = self._summarize(0, maxDets=md)
+        stats[6] = self._summarize(0, maxDets=md, iouThr=0.5)
+        stats[7] = self._summarize(0, maxDets=md, iouThr=0.75)
+        stats[8] = self._summarize(0, maxDets=md, areaRng="medium")
+        stats[9] = self._summarize(0, maxDets=md, areaRng="large")
         self.stats = stats
 
     def __str__(self):

@@ -20,25 +20,34 @@ from maskrcnn_tpu.eval.cocoeval import COCOeval
 
 
 def build_coco_results(dataset, image_id, class_ids, scores, boxes,
-                       masks) -> List[dict]:
+                       masks, keypoints=None) -> List[dict]:
     """Result dicts for one image (reference: coco.py:40-75).
 
     boxes: [N, 4] (y1, x1, y2, x2) original coords; masks: [N, H, W]
-    uint8.
+    uint8; keypoints: optional [N, K, 3] (y, x, score) original coords
+    (Detector keypoint-branch output) — serialized in the COCO result
+    order (x, y, v) for OKS evaluation.
     """
     results = []
     for i in range(len(class_ids)):
         box = np.around(np.asarray(boxes[i], np.float64), 1)
         rle = rle_lib.encode(np.asfortranarray(masks[i]))
         rle["counts"] = rle["counts"].decode("ascii")
-        results.append({
+        r = {
             "image_id": image_id,
             "category_id": dataset.class_id(int(class_ids[i])),
             "bbox": [float(box[1]), float(box[0]),
                      float(box[3] - box[1]), float(box[2] - box[0])],
             "score": float(scores[i]),
             "segmentation": rle,
-        })
+        }
+        if keypoints is not None:
+            kp = np.asarray(keypoints[i], np.float64)
+            flat = []
+            for y, x, _s in kp:
+                flat += [float(x), float(y), 1]
+            r["keypoints"] = flat
+        results.append(r)
     return results
 
 
@@ -74,11 +83,13 @@ def evaluate_coco(detector, dataset, coco, eval_type: str = "bbox",
         for image_id, out in zip(chunk, outs):
             if out is None:
                 continue
-            class_ids, scores, boxes, masks = out
+            class_ids, scores, boxes, masks = out[:4]
+            kps = out[4] if len(out) > 4 else None  # keypoint branch
             boxes = np.asarray(boxes)
             results.extend(build_coco_results(
                 dataset, image_id, class_ids, scores,
-                boxes.astype(np.int32), np.asarray(masks, np.uint8)))
+                boxes.astype(np.int32), np.asarray(masks, np.uint8),
+                keypoints=kps))
         done += len(chunk)
         progress(done, len(image_ids),
                  prefix=f"Evaluating {eval_type}",

@@ -59,6 +59,48 @@ class BoxHead(nn.Module):
         return logits, probs, bbox.reshape(n, self.num_classes, 4)
 
 
+class KeypointHead(nn.Module):
+    """Keypoint head (Mask R-CNN paper, "Human Pose Estimation";
+    Detectron `keypoint_rcnn_heads`: 8 x conv512 -> deconv x2 ->
+    bilinear x2). No reference equivalent — delldu/MaskRCNN stops at
+    boxes+masks; this head completes the paper's task set.
+
+    pooled: [N, P, P, 256] -> per-keypoint heatmap LOGITS
+    [N, 4P, 4P, K] float32 (deconv doubles, bilinear doubles again).
+    Softmax over the 4P*4P positions happens in the loss / decode —
+    one heatmap is one K-way spatial classification, which is what
+    makes keypoints sub-pixel-sharp vs regressing coordinates.
+
+    TPU notes: the conv stack is [N*P*P, dim] matmuls on the MXU (same
+    shape class as the mask head, 2x channels); the deconv is the
+    matmul+depth-to-space form (common.DeconvK2S2 — no strided-conv
+    gradient scalar loop on CPU, plain dots on TPU); the final fixed 2x
+    bilinear is a 4-tap elementwise blend XLA fuses into the epilogue.
+    """
+
+    num_keypoints: int
+    convs: int = 8
+    dim: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled):
+        x = pooled.astype(self.dtype)
+        pad = ((1, 1), (1, 1))
+        for i in range(1, self.convs + 1):
+            x = Conv(self.dim, (3, 3), padding=pad, dtype=self.dtype,
+                     name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = DeconvK2S2(self.dim, dtype=self.dtype, name="deconv")(x)
+        x = nn.relu(x)
+        logits = Conv(self.num_keypoints, (1, 1), dtype=self.dtype,
+                      name="score")(x).astype(jnp.float32)
+        # fixed 2x bilinear upsample (half-pixel centers), logits space
+        n, h, w, k = logits.shape
+        return jax.image.resize(logits, (n, 2 * h, 2 * w, k),
+                                method="bilinear")
+
+
 class MaskHead(nn.Module):
     """Mask head (reference: model.py:848-920 `Mask`).
 

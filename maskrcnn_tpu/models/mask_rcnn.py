@@ -23,7 +23,7 @@ import numpy as np
 
 from maskrcnn_tpu.config import Config
 from maskrcnn_tpu.models.fpn import FPN
-from maskrcnn_tpu.models.heads import BoxHead, MaskHead
+from maskrcnn_tpu.models.heads import BoxHead, KeypointHead, MaskHead
 from maskrcnn_tpu.models.rpn import RPNHead
 from maskrcnn_tpu.ops.anchors import config_anchors
 
@@ -68,6 +68,14 @@ class MaskRCNN:
                         dtype=_dtype(self.config),
                         fold_bn=self.config.FOLD_BN)
 
+    @property
+    def kp_head(self) -> KeypointHead:
+        assert self.config.NUM_KEYPOINTS > 0
+        return KeypointHead(num_keypoints=self.config.NUM_KEYPOINTS,
+                            convs=self.config.KEYPOINT_HEAD_CONVS,
+                            dim=self.config.KEYPOINT_HEAD_DIM,
+                            dtype=_dtype(self.config))
+
     # ---- init ----
     def init(self, rng: jax.Array) -> Params:
         """Initialise all parameters (reference: model.py:974-1035).
@@ -91,12 +99,19 @@ class MaskRCNN:
         pooled_mask = jnp.zeros(
             (1, cfg.MASK_POOL_SIZE, cfg.MASK_POOL_SIZE, 256), jnp.float32)
         mask_params = self.mask_head.init(k_mask, pooled_mask)
-        return {
+        params = {
             "fpn": fpn_params["params"],
             "rpn": rpn_params["params"],
             "box_head": box_params["params"],
             "mask_head": mask_params["params"],
         }
+        if cfg.NUM_KEYPOINTS > 0:
+            # fold_in (not a wider split) so the two-head init stays
+            # bit-identical to builds without the keypoint branch
+            k_kp = jax.random.fold_in(rng, 17)
+            params["kp_head"] = self.kp_head.init(
+                k_kp, pooled_mask)["params"]
+        return params
 
     # ---- stage API ----
     def backbone(self, params: Params, images: jnp.ndarray) -> List:
@@ -185,6 +200,11 @@ class MaskRCNN:
             return quant.quant_mask_head(self.config, params["quant"],
                                          pooled)
         return self.mask_head.apply({"params": params["mask_head"]}, pooled)
+
+    def predict_keypoints(self, params: Params, pooled: jnp.ndarray):
+        """Keypoint head over pooled [N, 14, 14, 256] -> heatmap logits
+        [N, 56, 56, K]. Active only when config.NUM_KEYPOINTS > 0."""
+        return self.kp_head.apply({"params": params["kp_head"]}, pooled)
 
     def anchors(self) -> np.ndarray:
         """Pixel-space anchors [num_anchors, 4] (model.py:991-995)."""

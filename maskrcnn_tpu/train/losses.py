@@ -108,13 +108,37 @@ def mask_loss(target_class_ids: jnp.ndarray, target_masks: jnp.ndarray,
     return _masked_mean(bce, mask)
 
 
+def keypoint_loss(kp_pos: jnp.ndarray, kp_valid: jnp.ndarray,
+                  kp_logits: jnp.ndarray) -> jnp.ndarray:
+    """Spatial softmax cross-entropy per keypoint (Mask R-CNN paper
+    "Human Pose Estimation": each visible keypoint is a one-hot
+    classification over the heatmap positions).
+
+    kp_pos: [..., T, K] int32 flattened target heatmap index;
+    kp_valid: [..., T, K] bool; kp_logits: [..., T, Hh, Wh, K].
+    Mean over valid (positive-RoI, labeled, inside-box) keypoints.
+    """
+    *lead, t, hh, hw, k = kp_logits.shape
+    flat = jnp.moveaxis(kp_logits, -1, -3)        # [..., T, K, Hh, Wh]
+    flat = flat.reshape(*lead, t, k, hh * hw)
+    logp = jax.nn.log_softmax(flat, axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, kp_pos[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return _masked_mean(nll, kp_valid.astype(jnp.float32))
+
+
 class Losses(NamedTuple):
+    """The task losses. `mrn_kp` is the optional keypoint branch
+    (config.NUM_KEYPOINTS > 0) and stays 0.0 when disabled, so the
+    5-task reference-parity sum is unchanged."""
+
     total: jnp.ndarray
     rpn_class: jnp.ndarray
     rpn_box: jnp.ndarray
     mrn_class: jnp.ndarray
     mrn_box: jnp.ndarray
     mrn_mask: jnp.ndarray
+    mrn_kp: jnp.ndarray
 
     def as_dict(self):
         return {f: getattr(self, f) for f in self._fields}

@@ -48,6 +48,8 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
       gt_masks_packed: [B, G, H, W/8] uint8 (np.packbits; 8x less
         host->device traffic, unpacked on device)
       gt_valid:     [B, G] bool
+      gt_keypoints: [B, G, K, 3] float32 (y, x, v) canvas coords —
+        optional; trains the keypoint branch when NUM_KEYPOINTS > 0
     """
     config = model.config
     h, w = config.IMAGE_SHAPE[:2]
@@ -63,10 +65,14 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
     # the inputs (FPN features, pooled RoIs) are live regardless.
     rpn_fn, classify_fn, masks_fn = (model.rpn_detect, model.classify,
                                      model.predict_masks)
+    kp_on = config.NUM_KEYPOINTS > 0 and "gt_keypoints" in batch
+    kp_fn = model.predict_keypoints if kp_on else None
     if config.REMAT_HEADS:
         rpn_fn = jax.checkpoint(rpn_fn)
         classify_fn = jax.checkpoint(classify_fn)
         masks_fn = jax.checkpoint(masks_fn)
+        if kp_on:
+            kp_fn = jax.checkpoint(kp_fn)
 
     x = normalize_image(batch["images"], config.MEAN_PIXEL)
     feats = model.backbone(params, x)
@@ -119,9 +125,28 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
                              mrn_tgt.positive)
     l_mask = L.mask_loss(mrn_tgt.class_ids, mrn_tgt.masks, pred_masks,
                          mrn_tgt.positive)
-    total = l_rpn_c + l_rpn_b + l_mrn_c + l_mrn_b + l_mask
+
+    # Optional keypoint branch (Mask R-CNN paper's third task; no
+    # reference equivalent). Shares the mask head's pooled RoIs.
+    l_kp = jnp.float32(0.0)
+    if kp_on:
+        from maskrcnn_tpu.train.targets import keypoint_targets
+        kp_logits = kp_fn(
+            params, pooled_m.reshape(b * t, *pooled_m.shape[2:]))
+        assert kp_logits.shape[1:3] == tuple(config.KEYPOINT_SHAPE), (
+            f"KEYPOINT_SHAPE {config.KEYPOINT_SHAPE} != head output "
+            f"{kp_logits.shape[1:3]} (= 4 * MASK_POOL_SIZE)")
+        kp_logits = kp_logits.reshape(b, t, *kp_logits.shape[1:])
+        kp_pos, kp_valid = jax.vmap(
+            lambda r, a, p, g: keypoint_targets(config, r, a, p, g))(
+                mrn_tgt.rois, mrn_tgt.gt_assignment, mrn_tgt.positive,
+                batch["gt_keypoints"])
+        l_kp = L.keypoint_loss(kp_pos, kp_valid, kp_logits)
+
+    total = l_rpn_c + l_rpn_b + l_mrn_c + l_mrn_b + l_mask + l_kp
     return L.Losses(total=total, rpn_class=l_rpn_c, rpn_box=l_rpn_b,
-                    mrn_class=l_mrn_c, mrn_box=l_mrn_b, mrn_mask=l_mask)
+                    mrn_class=l_mrn_c, mrn_box=l_mrn_b, mrn_mask=l_mask,
+                    mrn_kp=l_kp)
 
 
 def make_optimizer(config, learning_rate: float, decay_mask) -> optax.GradientTransformation:

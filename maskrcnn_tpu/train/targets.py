@@ -132,6 +132,7 @@ class MRNTargets(NamedTuple):
     masks: jnp.ndarray             # [T, 28, 28] float32 0/1
     valid: jnp.ndarray             # [T] bool: real roi (pos or neg)
     positive: jnp.ndarray          # [T] bool
+    gt_assignment: jnp.ndarray     # [T] int32 matched gt index (pos only)
 
 
 def mrn_targets(config: Config, key, proposals: jnp.ndarray,
@@ -214,5 +215,45 @@ def mrn_targets(config: Config, key, proposals: jnp.ndarray,
     masks = jnp.concatenate(
         [masks, jnp.zeros((t - p_cap, mh, mw))], axis=0)
 
+    assignment_t = jnp.concatenate([
+        jnp.where(pos_valid, pos_assignment, 0),
+        jnp.zeros((t - p_cap,), pos_assignment.dtype)]).astype(jnp.int32)
+
     return MRNTargets(rois=rois, class_ids=class_ids, deltas=deltas,
-                      masks=masks, valid=valid, positive=positive)
+                      masks=masks, valid=valid, positive=positive,
+                      gt_assignment=assignment_t)
+
+
+def keypoint_targets(config: Config, rois: jnp.ndarray,
+                     gt_assignment: jnp.ndarray, positive: jnp.ndarray,
+                     gt_keypoints: jnp.ndarray):
+    """Single-image keypoint heatmap targets (no reference equivalent —
+    Mask R-CNN paper "Human Pose Estimation" / Detectron
+    `keypoint_rcnn_heads.add_keypoint_losses` semantics).
+
+    rois: [T, 4] normalized (y1, x1, y2, x2) sampled training RoIs
+    (mrn_targets layout); gt_assignment/positive: [T] from MRNTargets;
+    gt_keypoints: [G, K, 3] float32 (y, x, v) with y/x in CANVAS pixel
+    coords and v the COCO visibility flag (0 unlabeled / 1 occluded /
+    2 visible — both labeled states train, like Detectron).
+
+    Returns (kp_pos [T, K] int32 flattened heatmap index,
+    kp_valid [T, K] bool). A keypoint trains iff its RoI is positive,
+    it is labeled (v > 0), and it lands strictly inside the RoI.
+    """
+    hh, hw = config.KEYPOINT_SHAPE
+    h, w = config.IMAGE_SHAPE[:2]
+    kp = gt_keypoints[gt_assignment]                    # [T, K, 3]
+    y1, x1, y2, x2 = [rois[:, i] * s for i, s in
+                      enumerate((h, w, h, w))]          # pixel coords
+    bh = jnp.maximum(y2 - y1, 1e-6)[:, None]
+    bw = jnp.maximum(x2 - x1, 1e-6)[:, None]
+    fy = (kp[..., 0] - y1[:, None]) / bh                # [T, K] in [0,1)
+    fx = (kp[..., 1] - x1[:, None]) / bw
+    iy = jnp.floor(fy * hh).astype(jnp.int32)
+    ix = jnp.floor(fx * hw).astype(jnp.int32)
+    inside = (fy >= 0.0) & (fy < 1.0) & (fx >= 0.0) & (fx < 1.0)
+    valid = (positive[:, None] & (kp[..., 2] > 0) & inside
+             & ((y2 - y1) > 0)[:, None] & ((x2 - x1) > 0)[:, None])
+    pos = jnp.clip(iy, 0, hh - 1) * hw + jnp.clip(ix, 0, hw - 1)
+    return jnp.where(valid, pos, 0), valid

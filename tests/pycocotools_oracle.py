@@ -122,6 +122,24 @@ def load() -> Optional[SimpleNamespace]:
 
     cocoeval_mod.Params.setDetParams = _set_det_params
 
+    # the keypoint Params use the same float-num np.linspace calls
+    # (cocoeval.py:514-523) — same scoped coercion
+    _orig_set_kp = cocoeval_mod.Params.setKpParams
+
+    def _set_kp_params(self):
+        real = np.linspace
+
+        def compat(start, stop, num=50, **kw):
+            return real(start, stop, int(round(float(num))), **kw)
+
+        np.linspace = compat
+        try:
+            _orig_set_kp(self)
+        finally:
+            np.linspace = real
+
+    cocoeval_mod.Params.setKpParams = _set_kp_params
+
     # numpy compat #2: accumulate() uses the `np.float` alias removed in
     # numpy 1.24 (cocoeval.py:379-380). Restore it (== builtin float,
     # exactly what the alias was) only while the reference code runs.
