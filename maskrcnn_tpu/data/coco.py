@@ -66,6 +66,13 @@ COCO_CLASS_IDS = [
 
 _CLASS_TO_LABEL = {c: i for i, c in enumerate(COCO_CLASS_IDS)}
 
+# Left/right partner indices of the 17 COCO person keypoints (nose,
+# l/r eye, l/r ear, l/r shoulder, l/r elbow, l/r wrist, l/r hip,
+# l/r knee, l/r ankle) — swapped under a horizontal flip. Public COCO
+# keypoint metadata.
+COCO_KP_HFLIP_PERM = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9,
+                      12, 11, 14, 13, 16, 15]
+
 
 class CocoLabel:
     """Contiguous label <-> sparse COCO class id (data.py:594-678)."""
@@ -158,9 +165,11 @@ class CocoDataset:
         if flip:
             image = image[:, ::-1]
 
+        nk = getattr(self.config, "NUM_KEYPOINTS", 0)
         label_ids: List[int] = []
         boxes: List[List[float]] = []
         masks: List[np.ndarray] = []
+        kps: List[np.ndarray] = []
         h, w = image.shape[:2]
         for ann in anns:
             class_id = ann["category_id"]
@@ -174,6 +183,22 @@ class CocoDataset:
                 label_id = -label_id  # crowd marker (data.py:829-833)
                 if m.shape[0] != h or m.shape[1] != w:
                     m = np.ones((h, w), np.uint8)
+            if nk:
+                # COCO anns carry flat (x, y, v); internal order is
+                # (y, x, v) matching the (y1, x1, y2, x2) box layout
+                kp = np.zeros((nk, 3), np.float32)
+                raw = ann.get("keypoints")
+                if raw is not None:
+                    arr = np.asarray(raw, np.float32).reshape(-1, 3)[:nk]
+                    kp[:len(arr), 0] = arr[:, 1]
+                    kp[:len(arr), 1] = arr[:, 0]
+                    kp[:len(arr), 2] = arr[:, 2]
+                if flip:
+                    kp[:, 1] = np.where(kp[:, 2] > 0,
+                                        w - 1 - kp[:, 1], kp[:, 1])
+                    if nk == len(COCO_KP_HFLIP_PERM):
+                        kp = kp[COCO_KP_HFLIP_PERM]
+                kps.append(kp)
             if flip:
                 m = m[:, ::-1]
             cols = np.any(m, axis=0)
@@ -194,17 +219,24 @@ class CocoDataset:
             label_ids = [0]
             boxes = [[0.0, 0.0, float(h), float(w)]]
             masks = [np.ones((h, w), np.uint8)]
+            kps = [np.zeros((nk, 3), np.float32)] if nk else []
 
         g = self.config.MAX_GT_INSTANCES
         # The reference's truncation is a no-op bug ([:m] with m = current
         # count, data.py:869-874); we truncate for real.
-        return (image, np.asarray(label_ids[:g], np.int32),
-                np.asarray(boxes[:g], np.float32), np.stack(masks[:g]))
+        out = (image, np.asarray(label_ids[:g], np.int32),
+               np.asarray(boxes[:g], np.float32), np.stack(masks[:g]))
+        if nk:
+            out = out + (np.stack(kps[:g]),)
+        return out
 
     def sample(self, index: int, hflip: bool = True) -> Dict[str, np.ndarray]:
         """One fixed-shape training example (canvas coords, padded gt)."""
         cfg = self.config
-        image, label_ids, boxes, masks = self.load(index, hflip=hflip)
+        nk = getattr(cfg, "NUM_KEYPOINTS", 0)
+        loaded = self.load(index, hflip=hflip)
+        image, label_ids, boxes, masks = loaded[:4]
+        kps = loaded[4] if nk else None
         ch, cw = cfg.IMAGE_SHAPE[:2]
         canvas, window, scale = resize_image(image, cfg.IMAGE_MIN_DIM,
                                              cfg.IMAGE_MAX_DIM,
@@ -223,10 +255,20 @@ class CocoDataset:
         out_boxes[:n] = boxes
         out_masks[:n] = masks
         out_valid[:n] = label_ids != 0
-        return {
+        out = {
             "images": canvas,
             "gt_class_ids": out_cls,
             "gt_boxes": out_boxes,
             "gt_masks": out_masks,
             "gt_valid": out_valid,
         }
+        if nk:
+            # keypoints follow the boxes' original->canvas transform
+            out_kp = np.zeros((g, nk, 3), np.float32)
+            out_kp[:n, :, 0] = kps[:, :, 0] * scale + window[0]
+            out_kp[:n, :, 1] = kps[:, :, 1] * scale + window[1]
+            out_kp[:n, :, 2] = kps[:, :, 2]
+            out_kp[:n, :, 0] *= kps[:, :, 2] > 0  # unlabeled stay (0,0)
+            out_kp[:n, :, 1] *= kps[:, :, 2] > 0
+            out["gt_keypoints"] = out_kp
+        return out

@@ -166,6 +166,83 @@ def test_compute_losses_keypoint_branch(rng):
 
 
 # ---------------------------------------------------------------------
+# COCO dataset keypoint loading (data/coco.py)
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def kp_coco_dir(tmp_path_factory):
+    import json
+
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("kpcoco")
+    (root / "annotations").mkdir()
+    (root / "val2014").mkdir()
+    h, w = 100, 140
+    arr = np.random.RandomState(0).randint(0, 255, (h, w, 3), np.uint8)
+    Image.fromarray(arr).save(root / "val2014" / "COCO_val2014_000000000001.jpg")
+    x, y, bw, bh = 30, 20, 60, 50
+    poly = [x, y, x + bw, y, x + bw, y + bh, x, y + bh]
+    # 17 keypoints: a diagonal line through the box, COCO (x, y, v)
+    kxs = np.linspace(x + 2, x + bw - 2, 17)
+    kys = np.linspace(y + 2, y + bh - 2, 17)
+    vs = [2] * 17
+    vs[3] = 0  # one unlabeled
+    flat = [float(t) for p in zip(kxs, kys, vs) for t in p]
+    data = {
+        "images": [{"id": 1, "height": h, "width": w,
+                    "file_name": "COCO_val2014_000000000001.jpg"}],
+        "annotations": [{
+            "id": 1, "image_id": 1, "category_id": 1,
+            "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+            "segmentation": [poly], "keypoints": flat,
+            "num_keypoints": 16,
+        }],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    with open(root / "annotations" / "instances_minival2014.json",
+              "w") as f:
+        json.dump(data, f)
+    return str(root)
+
+
+def test_coco_dataset_loads_keypoints(kp_coco_dir, monkeypatch):
+    from maskrcnn_tpu.data.coco import COCO_KP_HFLIP_PERM, CocoDataset
+
+    cfg = TinyConfig(NUM_KEYPOINTS=17)
+    ds = CocoDataset(kp_coco_dir, "minival", 2014, cfg)
+    image, cls, boxes, masks, kps = ds.load(0, hflip=False)
+    assert kps.shape == (1, 17, 3)
+    # internal order (y, x, v): annotation was a diagonal
+    np.testing.assert_allclose(kps[0, 0], [22, 32, 2])
+    np.testing.assert_allclose(kps[0, 16], [68, 88, 2])
+    assert kps[0, 3, 2] == 0
+
+    # forced hflip: x mirrors, left/right partners swap
+    import random as _random
+    monkeypatch.setattr(_random, "randint", lambda a, b: 1)
+    _, _, _, _, kpf = ds.load(0, hflip=True)
+    wimg = image.shape[1]
+    for i, j in enumerate(COCO_KP_HFLIP_PERM):
+        if kps[0, j, 2] > 0:
+            np.testing.assert_allclose(kpf[0, i, 1],
+                                       wimg - 1 - kps[0, j, 1])
+            np.testing.assert_allclose(kpf[0, i, 0], kps[0, j, 0])
+        assert kpf[0, i, 2] == kps[0, j, 2]
+
+    # sample(): canvas transform tracks the boxes' transform
+    monkeypatch.setattr(_random, "randint", lambda a, b: 0)
+    s = ds.sample(0, hflip=False)
+    assert s["gt_keypoints"].shape == (cfg.MAX_GT_INSTANCES, 17, 3)
+    kc = s["gt_keypoints"][0]
+    y1, x1, y2, x2 = s["gt_boxes"][0]
+    lab = kc[:, 2] > 0
+    assert (kc[lab, 0] >= y1).all() and (kc[lab, 0] <= y2).all()
+    assert (kc[lab, 1] >= x1).all() and (kc[lab, 1] <= x2).all()
+    np.testing.assert_array_equal(kc[~lab, :2], 0.0)
+
+
+# ---------------------------------------------------------------------
 # OKS evaluation (eval/cocoeval.py iouType="keypoints")
 # ---------------------------------------------------------------------
 
