@@ -129,6 +129,16 @@ def load_checkpoint(run_dir_or_path: str, params_like: Dict,
         e = int(os.path.basename(path).split("_")[1])
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree_util.tree_map(np.asarray, jax.device_get(params_like))
+    if "kp_head" in template:
+        # a keypoint-enabled template may be restoring a two-head
+        # checkpoint (fine-tune-the-new-head flow): orbax rejects the
+        # structural mismatch, so probe the on-disk tree first and
+        # restore without the kp_head subtree when it is absent
+        meta = ckptr.metadata(os.path.abspath(path))
+        tree = getattr(meta, "item_metadata", meta)
+        if tree is not None and "kp_head" not in tree:
+            template = {k: v for k, v in template.items()
+                        if k != "kp_head"}
     params = ckptr.restore(os.path.abspath(path), template)
     return params, e
 
@@ -144,6 +154,13 @@ def load_params(path: str, params_like: Dict,
         params = load_torch_checkpoint(path, architecture)
     else:
         params, _ = load_checkpoint(path, params_like)
+    if "kp_head" in params_like and "kp_head" not in params:
+        # two-head checkpoint into a keypoint-enabled model: the new
+        # branch keeps its init weights (fine-tune-the-new-head flow)
+        print("checkpoint has no kp_head — keypoint branch keeps "
+              "its initialization")
+        params = dict(params)
+        params["kp_head"] = params_like["kp_head"]
     ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, params_like)
     got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
     if ref_shapes != got_shapes:

@@ -446,12 +446,17 @@ def prepare_quant_params(model, params: Params,
                    "bias": jnp.asarray(np.asarray(
                        folded_mh[name]["bias"], np.float32))}
             for name in ("deconv", "conv5")}
-    return {
+    out = {
         "quant": quant_tree,
         "rpn": params["rpn"],
         "box_head": params["box_head"],
         "mask_head": params["mask_head"],
     }
+    if "kp_head" in params:
+        # keypoint branch stays float (bandwidth-light head on pooled
+        # RoIs; same reasoning as the float box head — int8_heads_gate)
+        out["kp_head"] = params["kp_head"]
+    return out
 
 
 # -- jit-callable int8 entry points (used by MaskRCNN routing) --------

@@ -41,10 +41,13 @@ def display_instances(image: np.ndarray, boxes, masks, class_ids,
                       class_names: Sequence[str],
                       scores: Optional[Sequence[float]] = None,
                       title: str = "", figsize=(16, 16), ax=None,
-                      save_path: Optional[str] = None):
+                      save_path: Optional[str] = None,
+                      keypoints=None):
     """Draw boxes, labels and mask contours (reference: utils.py:322-398).
 
-    boxes: [N, 4] (y1, x1, y2, x2); masks: [N, H, W]; class_ids: [N].
+    boxes: [N, 4] (y1, x1, y2, x2); masks: [N, H, W]; class_ids: [N];
+    keypoints: optional [N, K, 3] (y, x, score) from the keypoint
+    branch — drawn as per-instance dots.
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -77,6 +80,11 @@ def display_instances(image: np.ndarray, boxes, masks, class_ids,
                 backgroundcolor="none")
         if masks is not None:
             shown = apply_mask(shown, np.asarray(masks[i]), color)
+        if keypoints is not None:
+            # keypoint branch output: [N, K, 3] (y, x, score)
+            kp = np.asarray(keypoints[i])
+            ax.scatter(kp[:, 1], kp[:, 0], c=[color], s=14,
+                       marker="o", edgecolors="w", linewidths=0.5)
     ax.imshow(shown)
     if save_path:
         plt.savefig(save_path, bbox_inches="tight")

@@ -165,6 +165,35 @@ def test_compute_losses_keypoint_branch(rng):
         rtol=1e-6)
 
 
+def test_two_head_checkpoint_loads_into_kp_model(tmp_path):
+    """Fine-tune-the-new-head flow: a boxes+masks checkpoint loads into
+    a keypoint-enabled model; the kp_head keeps its init weights and
+    int8 preparation carries it through."""
+    from maskrcnn_tpu.checkpoint.store import load_params, save_checkpoint
+    from maskrcnn_tpu.quant import default_calib_canvases, prepare_quant_params
+
+    base = MaskRCNN(TinyConfig())
+    bparams = base.init(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), bparams, 3, base.config)
+
+    cfg = kp_config()
+    kmodel = MaskRCNN(cfg)
+    template = kmodel.init(jax.random.PRNGKey(1))
+    loaded = load_params(str(tmp_path), template, cfg.BACKBONE)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(loaded["fpn"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(bparams["fpn"])[0]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(loaded["kp_head"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(template["kp_head"])[0]))
+
+    qcfg = kp_config(QUANT_INT8=True)
+    qparams = prepare_quant_params(
+        MaskRCNN(qcfg), loaded,
+        calib_images=default_calib_canvases(qcfg.IMAGE_SHAPE, n=2))
+    assert "kp_head" in qparams
+
+
 # ---------------------------------------------------------------------
 # COCO dataset keypoint loading (data/coco.py)
 # ---------------------------------------------------------------------
