@@ -43,8 +43,11 @@ def make_loop(model, iters: int):
         def body(i, acc):
             imgs = images + i.astype(jnp.uint8)  # defeat loop hoisting
             out = predict_step(model, params, imgs, windows)
-            return (acc + out["scores"].sum()
-                    + out["masks_packed"].sum(dtype=jnp.float32) * 1e-6)
+            acc = (acc + out["scores"].sum()
+                   + out["masks_packed"].sum(dtype=jnp.float32) * 1e-6)
+            if "keypoints" in out:  # consume it or XLA dead-codes the head
+                acc = acc + out["keypoints"].sum() * 1e-6
+            return acc
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

@@ -343,10 +343,19 @@ class Detector:
                 return (class_ids, scores, boxes, masks)
             # keypoint branch on: results gain a 5th element —
             # [n, K, 3] (y, x, score) in original image coords (the
-            # boxes' canvas->original transform, minus the box quirk)
-            kp = fetched["keypoints"][i][valid].astype(np.float64)
-            kp[..., 0] = (kp[..., 0] - windows[i][0]) / (scales[i] + 1e-5)
-            kp[..., 1] = (kp[..., 1] - windows[i][1]) / (scales[i] + 1e-5)
+            # boxes' canvas->original transform, minus the box quirk).
+            # The device computes keypoints only for the top
+            # KEYPOINT_MAX_INSTANCES score-ordered slots; detections
+            # beyond that get zero rows.
+            kp_dev = fetched["keypoints"][i]     # [min(D, KP_MAX), K, 3]
+            kp_rows = kp_dev[valid[:kp_dev.shape[0]]].astype(np.float64)
+            kp_rows[..., 0] = ((kp_rows[..., 0] - windows[i][0])
+                               / (scales[i] + 1e-5))
+            kp_rows[..., 1] = ((kp_rows[..., 1] - windows[i][1])
+                               / (scales[i] + 1e-5))
+            kp = np.zeros((len(class_ids),) + kp_rows.shape[1:],
+                          np.float64)
+            kp[:len(kp_rows)] = kp_rows
             return (class_ids, scores, boxes, masks, kp)
 
         # host decode fallback is PIL-bound (~50 resizes each); PIL and

@@ -84,6 +84,14 @@ class Config:
     KEYPOINT_SHAPE: Tuple[int, int] = (56, 56)
     KEYPOINT_HEAD_CONVS: int = 8   # Detectron keypoint-head depth
     KEYPOINT_HEAD_DIM: int = 512
+    # Inference: run the keypoint head on only the top-K detection
+    # slots. The head is the costliest per-RoI compute in the model
+    # (8x conv512 at 14x14 ~ 7.4 GFLOP/RoI — ALL 50 padded detection
+    # slots would cost as much as the whole backbone); detections are
+    # packed valid-first in score order, so the static top-20 slice is
+    # exactly the set the COCO keypoint protocol evaluates
+    # (OKS maxDets = 20).
+    KEYPOINT_MAX_INSTANCES: int = 20
 
     MAX_GT_INSTANCES: int = 50
 

@@ -309,11 +309,15 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
         "masks_packed": packed.reshape(b, d, h, packed.shape[-1]),
     }
     if config.NUM_KEYPOINTS > 0:
-        # keypoint branch on the same pooled RoIs the mask head used
+        # keypoint branch on the same pooled RoIs the mask head used,
+        # restricted to the top-K score-ordered detection slots (the
+        # OKS protocol's maxDets; the head is ~7.4 GFLOP/RoI)
+        n = min(config.KEYPOINT_MAX_INSTANCES or d, d)
+        pooled_k = pooled_m[:, :n]
         kp_logits = model.predict_keypoints(
-            params, pooled_m.reshape(b * d, *pooled_m.shape[2:]))
+            params, pooled_k.reshape(b * n, *pooled_k.shape[2:]))
         kp = decode_keypoints(config, kp_logits,
-                              det.boxes.reshape(b * d, 4),
-                              det.valid.reshape(b * d))
-        out["keypoints"] = kp.reshape(b, d, config.NUM_KEYPOINTS, 3)
+                              det.boxes[:, :n].reshape(b * n, 4),
+                              det.valid[:, :n].reshape(b * n))
+        out["keypoints"] = kp.reshape(b, n, config.NUM_KEYPOINTS, 3)
     return out

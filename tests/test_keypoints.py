@@ -440,6 +440,33 @@ def test_detector_keypoints_end_to_end():
             assert (kp[i, :, 1] <= x2 + 1).all()
 
 @pytest.mark.slow
+def test_keypoint_max_instances_truncates():
+    """KEYPOINT_MAX_INSTANCES < D: the head runs on the top slots only
+    (protocol-exact: detections are packed valid-first in score order)
+    and the Detector pads later detections with zero keypoint rows."""
+    from maskrcnn_tpu.api import Detector
+    from maskrcnn_tpu.detection.pipeline import predict_step
+
+    cfg = kp_config(KEYPOINT_MAX_INSTANCES=2)
+    model = MaskRCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    d = cfg.IMAGE_SHAPE[0]
+    images = np.random.RandomState(3).randint(0, 256, (1, d, d, 3),
+                                              np.uint8)
+    windows = np.asarray([[0, 0, d, d]], np.float32)
+    out = jax.device_get(predict_step(model, params, jnp.asarray(images),
+                                      jnp.asarray(windows)))
+    assert out["keypoints"].shape == (1, 2, cfg.NUM_KEYPOINTS, 3)
+
+    det = Detector(cfg, params=params)
+    res = det.detect_batch([images[0]])[0]
+    if res is not None:
+        kp = res[4]
+        assert kp.shape[0] == len(res[0])      # one row per detection
+        np.testing.assert_array_equal(kp[2:], 0.0)  # beyond top-2: zeros
+
+
+@pytest.mark.slow
 def test_predict_step_returns_keypoints():
     from maskrcnn_tpu.detection.pipeline import predict_step
 
