@@ -131,16 +131,23 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
     l_kp = jnp.float32(0.0)
     if kp_on:
         from maskrcnn_tpu.train.targets import keypoint_targets
+        # only positive RoIs carry keypoint targets, and mrn_targets
+        # packs positives into the first p_cap slots by construction —
+        # running the head (the costliest per-RoI compute, ~8x conv512)
+        # on that static prefix is exact and ~3x cheaper
+        p_cap = int(t * config.ROI_POSITIVE_RATIO)
+        pooled_kp = pooled_m[:, :p_cap]
         kp_logits = kp_fn(
-            params, pooled_m.reshape(b * t, *pooled_m.shape[2:]))
+            params, pooled_kp.reshape(b * p_cap, *pooled_kp.shape[2:]))
         assert kp_logits.shape[1:3] == tuple(config.KEYPOINT_SHAPE), (
             f"KEYPOINT_SHAPE {config.KEYPOINT_SHAPE} != head output "
             f"{kp_logits.shape[1:3]} (= 4 * MASK_POOL_SIZE)")
-        kp_logits = kp_logits.reshape(b, t, *kp_logits.shape[1:])
+        kp_logits = kp_logits.reshape(b, p_cap, *kp_logits.shape[1:])
         kp_pos, kp_valid = jax.vmap(
             lambda r, a, p, g: keypoint_targets(config, r, a, p, g))(
-                mrn_tgt.rois, mrn_tgt.gt_assignment, mrn_tgt.positive,
-                batch["gt_keypoints"])
+                mrn_tgt.rois[:, :p_cap],
+                mrn_tgt.gt_assignment[:, :p_cap],
+                mrn_tgt.positive[:, :p_cap], batch["gt_keypoints"])
         l_kp = L.keypoint_loss(kp_pos, kp_valid, kp_logits)
 
     total = l_rpn_c + l_rpn_b + l_mrn_c + l_mrn_b + l_mask + l_kp
