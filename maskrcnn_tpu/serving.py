@@ -161,7 +161,9 @@ class BatchingDetector:
                 self.batches_run += 1
                 self.images_run += len(batch)
                 for (_, fut), res in zip(batch, results):
-                    none_tuple = (None, None, None, None)
+                    n_fields = (5 if self.detector.config.NUM_KEYPOINTS
+                                else 4)  # + keypoints when branch is on
+                    none_tuple = (None,) * n_fields
                     fut.set_result(res if res is not None else none_tuple)
             except Exception as e:
                 for _, fut in batch:
