@@ -81,6 +81,15 @@ def main():
                         "micro-batches (one optimizer update; effective "
                         "batch = BATCH_SIZE, micro = BATCH_SIZE/accum "
                         "per device group — the HBM-relief knob)")
+    parser.add_argument("--keypoints", required=False, default=0,
+                        type=int, metavar="K",
+                        help="Enable the keypoint branch with K "
+                        "keypoints (17 = COCO person keypoints): "
+                        "training consumes 'keypoints' annotations and "
+                        "adds the mrn_kp loss; evaluate additionally "
+                        "reports the OKS keypoint AP. A two-head "
+                        "checkpoint loads with the new head at its "
+                        "init weights.")
     args = parser.parse_args()
     print("Command: ", args.command)
     print("Model: ", args.model)
@@ -91,7 +100,8 @@ def main():
     n_dev = args.devices or jax.device_count()
     if args.command == "train":
         config = CocoConfig(NUM_DEVICES=n_dev, SP_DEVICES=args.sp,
-                            GRAD_ACCUM_STEPS=args.grad_accum)
+                            GRAD_ACCUM_STEPS=args.grad_accum,
+                            NUM_KEYPOINTS=args.keypoints)
         assert config.BATCH_SIZE % max(args.grad_accum, 1) == 0, (
             f"BATCH_SIZE {config.BATCH_SIZE} must divide by "
             f"--grad-accum {args.grad_accum}")
@@ -104,7 +114,8 @@ def main():
         # path on.
         config = CocoInferenceConfig(NUM_DEVICES=n_dev,
                                      SP_DEVICES=args.sp,
-                                     DEVICE_MASK_DECODE=False)
+                                     DEVICE_MASK_DECODE=False,
+                                     NUM_KEYPOINTS=args.keypoints)
     config.display()
 
     if args.command == "train":
@@ -181,6 +192,11 @@ def main():
                       batch_size=bs)
         evaluate_coco(detector, val_ds, val_ds.coco, "segm", limit=limit,
                       batch_size=bs)
+        if args.keypoints:
+            # OKS keypoint AP (needs person_keypoints-style annotations
+            # in the gt; results carry the branch's decoded keypoints)
+            evaluate_coco(detector, val_ds, val_ds.coco, "keypoints",
+                          limit=limit, batch_size=bs)
     else:
         print(f"'{args.command}' is not recognized. "
               "Use 'train' or 'evaluate'")
