@@ -157,10 +157,15 @@ class Detector:
             params = replicate(params, self._mesh)
         return params
 
-    def load_weights(self, path: str):
+    def load_weights(self, path: str, reinit_mismatched: bool = False):
+        """Load a .pth or orbax checkpoint. reinit_mismatched=True keeps
+        fresh init values for shape-incompatible leaves — the fine-tune
+        flow when NUM_CLASSES/NUM_KEYPOINTS differs from the checkpoint
+        (docs/CUSTOM_DATASET.md)."""
         from maskrcnn_tpu.checkpoint.store import load_params
         self._float_params = load_params(path, self._float_params,
-                                         self.config.BACKBONE)
+                                         self.config.BACKBONE,
+                                         reinit_mismatched=reinit_mismatched)
         self._prepared = None  # re-prepared lazily for the new weights
 
     def detect(self, image: np.ndarray):

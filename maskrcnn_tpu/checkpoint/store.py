@@ -144,16 +144,35 @@ def load_checkpoint(run_dir_or_path: str, params_like: Dict,
 
 
 def load_params(path: str, params_like: Dict,
-                architecture: str = "resnet101") -> Dict:
+                architecture: str = "resnet101",
+                reinit_mismatched: bool = False) -> Dict:
     """Polyglot load: .pth (torch) or orbax dir, shape-checked against
     the template. Covers the reference CLI's --model flag surface
-    (coco.py:163-168)."""
+    (coco.py:163-168).
+
+    reinit_mismatched: keep the template's (freshly initialized) value
+    for any leaf whose checkpoint shape disagrees — the fine-tune flow
+    for a different NUM_CLASSES/NUM_KEYPOINTS, where the class-dependent
+    head tails re-train while everything else transfers (the
+    matterport-lineage `load_weights(exclude=...)` workflow, made
+    automatic: only genuinely incompatible leaves reinitialize).
+    """
     if path.endswith(".pth") or path.endswith(".pt"):
         from maskrcnn_tpu.checkpoint.torch_convert import \
             load_torch_checkpoint
         params = load_torch_checkpoint(path, architecture)
-    else:
+    elif not reinit_mismatched:
         params, _ = load_checkpoint(path, params_like)
+    else:
+        # restore with the ON-DISK shapes (a shape-mismatched template
+        # would make orbax fail), then merge leaf-wise below
+        p = path
+        if not os.path.basename(p).startswith("epoch_"):
+            e = latest_epoch(p)
+            if e is None:
+                raise FileNotFoundError(f"no checkpoints under {p}")
+            p = checkpoint_path(p, e)
+        params = _ocp().StandardCheckpointer().restore(os.path.abspath(p))
     if "kp_head" in params_like and "kp_head" not in params:
         # two-head checkpoint into a keypoint-enabled model: the new
         # branch keeps its init weights (fine-tune-the-new-head flow)
@@ -164,5 +183,22 @@ def load_params(path: str, params_like: Dict,
     ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, params_like)
     got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
     if ref_shapes != got_shapes:
-        raise ValueError("checkpoint shapes do not match the model")
+        if not reinit_mismatched:
+            raise ValueError(
+                "checkpoint shapes do not match the model (pass "
+                "reinit_mismatched=True to keep freshly initialized "
+                "values for incompatible leaves, e.g. when fine-tuning "
+                "to a different NUM_CLASSES)")
+        reinit = []
+
+        def merge(kp, template_leaf, ckpt_leaf):
+            if np.shape(template_leaf) == np.shape(ckpt_leaf):
+                return ckpt_leaf
+            reinit.append(jax.tree_util.keystr(kp))
+            return np.asarray(template_leaf)
+
+        params = jax.tree_util.tree_map_with_path(merge, params_like,
+                                                  params)
+        print(f"reinitialized {len(reinit)} shape-mismatched leaves: "
+              + ", ".join(reinit))
     return params

@@ -12,13 +12,12 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image
 
-from maskrcnn_tpu.data.codecs import (encode_boxes, encode_masks,
-                                      resize_image)
+from maskrcnn_tpu.data.dataset import DetectionDataset
 from maskrcnn_tpu.eval.coco_index import COCO
 
 # The 80 COCO categories in contiguous label order (label 0 = background).
@@ -110,12 +109,14 @@ def coco_image_dir(root: str, subset: str, year: int = 2014) -> str:
     return os.path.join(root, f"{subset}{year}")
 
 
-class CocoDataset:
+class CocoDataset(DetectionDataset):
     """COCO instance-segmentation dataset for training and eval.
 
     Replaces the reference CocoMaskRCNNDataset (data.py:695-884); the
     per-image RPN target sampling moved on-device (train/targets.py), so
-    __getitem__ only loads + encodes.
+    __getitem__ only loads + encodes. The fixed-shape batch protocol
+    (`sample`) is inherited from DetectionDataset — this class is also
+    the worked example for custom subclasses (docs/CUSTOM_DATASET.md).
     """
 
     def __init__(self, root: str, subset: str, year: int, config,
@@ -228,47 +229,4 @@ class CocoDataset:
                np.asarray(boxes[:g], np.float32), np.stack(masks[:g]))
         if nk:
             out = out + (np.stack(kps[:g]),)
-        return out
-
-    def sample(self, index: int, hflip: bool = True) -> Dict[str, np.ndarray]:
-        """One fixed-shape training example (canvas coords, padded gt)."""
-        cfg = self.config
-        nk = getattr(cfg, "NUM_KEYPOINTS", 0)
-        loaded = self.load(index, hflip=hflip)
-        image, label_ids, boxes, masks = loaded[:4]
-        kps = loaded[4] if nk else None
-        ch, cw = cfg.IMAGE_SHAPE[:2]
-        canvas, window, scale = resize_image(image, cfg.IMAGE_MIN_DIM,
-                                             cfg.IMAGE_MAX_DIM,
-                                             canvas_shape=(ch, cw))
-        boxes = encode_boxes(boxes, scale, window)
-        masks = encode_masks(masks, scale, window, cfg.IMAGE_MAX_DIM,
-                             canvas_shape=(ch, cw))
-
-        g = cfg.MAX_GT_INSTANCES
-        n = len(label_ids)
-        out_cls = np.zeros((g,), np.int32)
-        out_boxes = np.zeros((g, 4), np.float32)
-        out_masks = np.zeros((g, ch, cw), np.uint8)
-        out_valid = np.zeros((g,), bool)
-        out_cls[:n] = label_ids
-        out_boxes[:n] = boxes
-        out_masks[:n] = masks
-        out_valid[:n] = label_ids != 0
-        out = {
-            "images": canvas,
-            "gt_class_ids": out_cls,
-            "gt_boxes": out_boxes,
-            "gt_masks": out_masks,
-            "gt_valid": out_valid,
-        }
-        if nk:
-            # keypoints follow the boxes' original->canvas transform
-            out_kp = np.zeros((g, nk, 3), np.float32)
-            out_kp[:n, :, 0] = kps[:, :, 0] * scale + window[0]
-            out_kp[:n, :, 1] = kps[:, :, 1] * scale + window[1]
-            out_kp[:n, :, 2] = kps[:, :, 2]
-            out_kp[:n, :, 0] *= kps[:, :, 2] > 0  # unlabeled stay (0,0)
-            out_kp[:n, :, 1] *= kps[:, :, 2] > 0
-            out["gt_keypoints"] = out_kp
         return out

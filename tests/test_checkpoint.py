@@ -162,6 +162,46 @@ def test_async_save_overlaps_and_roundtrips(model_params, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_reinit_mismatched_heads(model_params, tmp_path):
+    """Fine-tune flow: load an 81-class checkpoint into a 4-class model.
+
+    Only the class-dependent leaves (box_head linear_class/linear_bbox,
+    mask_head conv5) reinitialize; everything else transfers bit-exact.
+    Covers both checkpoint formats (orbax dir and .pth) and the default
+    strict behavior (docs/CUSTOM_DATASET.md workflow).
+    """
+    from maskrcnn_tpu.checkpoint.store import load_params
+
+    model81, params81 = model_params
+    run_dir = str(tmp_path / "run81")
+    save_checkpoint(run_dir, params81, 1)
+
+    model4 = MaskRCNN(TinyConfig(NUM_CLASSES=4))
+    template = model4.init(jax.random.PRNGKey(7))
+
+    with pytest.raises(ValueError, match="reinit_mismatched"):
+        load_params(run_dir, template, model4.config.BACKBONE)
+
+    pth = str(tmp_path / "w81.pth")
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in
+                to_torch_state_dict(params81,
+                                    model81.config.BACKBONE).items()}, pth)
+
+    for src in (run_dir, pth):
+        merged = load_params(src, template, model4.config.BACKBONE,
+                             reinit_mismatched=True)
+        flat_t = dict(jax.tree_util.tree_leaves_with_path(template))
+        flat_81 = dict(jax.tree_util.tree_leaves_with_path(params81))
+        reinit_names = {"linear_class", "linear_bbox", "conv5"}
+        for kp, got in jax.tree_util.tree_leaves_with_path(merged):
+            is_reinit = any(getattr(k, "key", None) in reinit_names
+                            for k in kp)
+            want = flat_t[kp] if is_reinit else flat_81[kp]
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want),
+                err_msg=jax.tree_util.keystr(kp))
+
+
 def test_prune_and_best(model_params, tmp_path):
     """keep-last-N retention + best-epoch marker (ROADMAP item 10)."""
     from maskrcnn_tpu.checkpoint.store import (best_epoch, latest_epoch,
