@@ -75,6 +75,12 @@ def main():
              "full resolution. Replaces the 3-stage layer schedule "
              "(trains 'all' layers each stage); an opt-in departure "
              "from the reference protocol like IMAGE_CANVAS.")
+    parser.add_argument(
+        "--augment", required=False, default=None, metavar="SPEC",
+        help="training augmentation beyond the default flip, e.g. "
+             "'scale=0.8:1.25,crop=0.7:1.0,color=0.2' "
+             "(data/augment.py; opt-in departure from the reference's "
+             "flip-only protocol)")
     parser.add_argument("--grad-accum", required=False, default=1,
                         type=int, help="Gradient accumulation: split "
                         "each step's batch into this many sequential "
@@ -135,8 +141,14 @@ def main():
             f"global batch {config.BATCH_SIZE} must divide evenly over "
             f"{nproc} processes — per-host shards would otherwise sum "
             "to less than the global batch")
+        augment = None
+        if args.augment:
+            from maskrcnn_tpu.data.augment import Augmenter
+            augment = Augmenter.parse(args.augment)
+            print("Augmentation:", augment)
         train_iter = BatchLoader(train_ds, config.BATCH_SIZE // nproc,
-                                 shard_index=pid, num_shards=nproc)
+                                 shard_index=pid, num_shards=nproc,
+                                 augment=augment)
         val_iter = BatchLoader(val_ds, config.BATCH_SIZE // nproc,
                                shard_index=pid, num_shards=nproc)
 

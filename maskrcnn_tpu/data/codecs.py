@@ -22,7 +22,8 @@ from PIL import Image
 
 
 def resize_image(image: np.ndarray, min_dim: int, max_dim: int,
-                 canvas_shape: Tuple[int, int] = None
+                 canvas_shape: Tuple[int, int] = None,
+                 scale_mult: float = 1.0
                  ) -> Tuple[np.ndarray, Tuple[int, int, int, int], float]:
     """uint8 HxWx3 -> (canvas [CH, CW, 3] uint8, window, scale).
 
@@ -32,11 +33,17 @@ def resize_image(image: np.ndarray, min_dim: int, max_dim: int,
     (Config.IMAGE_CANVAS) the cap applies per axis so the image fits the
     rectangle — smaller canvases convolve fewer padded-zero pixels.
     window = (y1, x1, y2, x2) of the real image inside the canvas.
+
+    scale_mult: training-time scale jitter (data/augment.py) applied to
+    the protocol scale, still capped by the canvas fit and floored so at
+    least 8 px of the short side survive.
     """
     h, w = image.shape[:2]
     ch, cw = canvas_shape if canvas_shape is not None else (max_dim,
                                                            max_dim)
     scale = max(1.0, min_dim / min(h, w))
+    if scale_mult != 1.0:
+        scale = max(scale * scale_mult, 8.0 / min(h, w))
     if round(h * scale) > ch or round(w * scale) > cw:
         scale = min(ch / h, cw / w)
     if scale != 1.0:

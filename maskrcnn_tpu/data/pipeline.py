@@ -29,12 +29,13 @@ class BatchLoader:
                  num_workers: int = 4, prefetch: int = 4,
                  seed: int = 0, shard_index: int = 0,
                  num_shards: int = 1, hflip: bool = True,
-                 pack_bits: bool = True):
+                 pack_bits: bool = True, augment=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.hflip = hflip
         self.pack_bits = pack_bits
+        self.augment = augment  # data.augment.Augmenter or None
         self._rng = random.Random(seed)
         # per-host shard: stride over the dataset (SURVEY.md section 2.3:
         # per-host shards feeding a dp mesh)
@@ -73,7 +74,11 @@ class BatchLoader:
             except queue.Empty:
                 continue
             try:
-                s = self.dataset.sample(idx, hflip=self.hflip)
+                if self.augment is not None:
+                    s = self.dataset.sample(idx, hflip=self.hflip,
+                                            augment=self.augment)
+                else:
+                    s = self.dataset.sample(idx, hflip=self.hflip)
                 if self.pack_bits:
                     from maskrcnn_tpu.ops.bits import pack_masks
                     s["gt_masks_packed"] = pack_masks(s.pop("gt_masks"))
