@@ -129,16 +129,18 @@ def load_checkpoint(run_dir_or_path: str, params_like: Dict,
         e = int(os.path.basename(path).split("_")[1])
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree_util.tree_map(np.asarray, jax.device_get(params_like))
-    if "kp_head" in template:
-        # a keypoint-enabled template may be restoring a two-head
-        # checkpoint (fine-tune-the-new-head flow): orbax rejects the
-        # structural mismatch, so probe the on-disk tree first and
-        # restore without the kp_head subtree when it is absent
-        meta = ckptr.metadata(os.path.abspath(path))
-        tree = getattr(meta, "item_metadata", meta)
-        if tree is not None and "kp_head" not in tree:
+    # A template with optional branches (kp_head, cascade box_head2/3)
+    # may be restoring a checkpoint from before the branch existed
+    # (fine-tune-the-new-branch flow): orbax rejects the structural
+    # mismatch, so probe the on-disk tree and restore without the
+    # absent subtrees. load_params re-attaches their init values.
+    meta = ckptr.metadata(os.path.abspath(path))
+    tree = getattr(meta, "item_metadata", meta)
+    if tree is not None:
+        absent = [k for k in template if k not in tree]
+        if absent:
             template = {k: v for k, v in template.items()
-                        if k != "kp_head"}
+                        if k not in absent}
     params = ckptr.restore(os.path.abspath(path), template)
     return params, e
 
@@ -173,13 +175,16 @@ def load_params(path: str, params_like: Dict,
                 raise FileNotFoundError(f"no checkpoints under {p}")
             p = checkpoint_path(p, e)
         params = _ocp().StandardCheckpointer().restore(os.path.abspath(p))
-    if "kp_head" in params_like and "kp_head" not in params:
-        # two-head checkpoint into a keypoint-enabled model: the new
-        # branch keeps its init weights (fine-tune-the-new-head flow)
-        print("checkpoint has no kp_head — keypoint branch keeps "
-              "its initialization")
+    missing = [k for k in params_like if k not in params]
+    if missing:
+        # checkpoint predates an optional branch (keypoint head,
+        # cascade box heads): the new branch keeps its init weights
+        # (fine-tune-the-new-branch flow)
+        print(f"checkpoint lacks {missing} — these branches keep "
+              "their initialization")
         params = dict(params)
-        params["kp_head"] = params_like["kp_head"]
+        for k in missing:
+            params[k] = params_like[k]
     ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, params_like)
     got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
     if ref_shapes != got_shapes:

@@ -80,6 +80,19 @@ class Config:
     # (shares the mask head's RoIAlign tables) and regresses one
     # KEYPOINT_SHAPE heatmap per keypoint, trained with a spatial
     # softmax cross-entropy at the ground-truth position.
+    # ---- Cascade R-CNN branch (beyond the reference: Cai & Vasconcelos
+    # 2018). Empty tuple disables the cascade entirely — the default
+    # model, params, and losses are bit-identical to the single-head
+    # build. Set e.g. (0.5, 0.6, 0.7) for the paper's 3-stage cascade:
+    # stage i gets its own BoxHead trained at IoU threshold
+    # CASCADE_STAGES[i] on the previous stage's refined boxes (no
+    # re-sampling past stage 0), with delta normalization
+    # BBOX_STD_DEV / (i + 1) (the paper's tightening std schedule).
+    # Inference refines proposals through the stages and classifies
+    # with the stage-averaged probabilities. Mask/keypoint heads are
+    # unchanged (they already run on the final detection boxes).
+    CASCADE_STAGES: Tuple[float, ...] = ()
+
     NUM_KEYPOINTS: int = 0
     KEYPOINT_SHAPE: Tuple[int, int] = (56, 56)
     KEYPOINT_HEAD_CONVS: int = 8   # Detectron keypoint-head depth

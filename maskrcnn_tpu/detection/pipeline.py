@@ -88,11 +88,15 @@ def rpn_refine_scores(config: Config, anchors: jnp.ndarray,
 
 def mrn_refine(config: Config, proposals: jnp.ndarray,
                proposal_valid: jnp.ndarray, probs: jnp.ndarray,
-               deltas: jnp.ndarray, window: jnp.ndarray) -> Detections:
+               deltas: jnp.ndarray, window: jnp.ndarray,
+               delta_std=None) -> Detections:
     """Detection refinement (reference: model.py:1389-1487), single image.
 
     proposals: [R, 4] normalized; probs: [R, K]; deltas: [R, K, 4];
     window: [4] (y1, x1, y2, x2) pixel coords of the un-padded region.
+    delta_std: override for the delta de-normalization (the cascade's
+    last stage trains with a tighter std schedule); None keeps the
+    reference behavior.
     """
     r, num_classes = probs.shape
     class_ids = jnp.argmax(probs, axis=1)
@@ -101,7 +105,8 @@ def mrn_refine(config: Config, proposals: jnp.ndarray,
     deltas_specific = deltas[idx, class_ids]
 
     # model.py:1418-1422 uses RPN_BBOX_STD_DEV here (not BBOX_STD_DEV).
-    std = jnp.asarray(config.RPN_BBOX_STD_DEV, jnp.float32)
+    std = (jnp.asarray(config.RPN_BBOX_STD_DEV, jnp.float32)
+           if delta_std is None else jnp.asarray(delta_std, jnp.float32))
     refined = box_ops.refine_boxes(proposals, deltas_specific * std)
 
     h, w = config.IMAGE_SHAPE[:2]
@@ -220,17 +225,39 @@ def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
             q_scales = [acts[f"rpn/P{i}"] for i in range(4)]
 
     b, r = proposals.shape[:2]
-    pooled = _pool_rois(feats, proposals, config.POOL_SIZE,
-                        config.IMAGE_SHAPE, impl=config.ROI_IMPL,
-                        quant_scales=q_scales)
-    _, mrn_probs, mrn_deltas = model.classify(
-        params, pooled.reshape(b * r, *pooled.shape[2:]))
-    mrn_probs = mrn_probs.reshape(b, r, -1)
-    mrn_deltas = mrn_deltas.reshape(b, r, config.NUM_CLASSES, 4)
+    stages = max(1, len(config.CASCADE_STAGES))
+    std_base = jnp.asarray(config.BBOX_STD_DEV, jnp.float32)
+    rois = proposals
+    probs_sum = None
+    for i in range(stages):
+        pooled = _pool_rois(feats, rois, config.POOL_SIZE,
+                            config.IMAGE_SHAPE, impl=config.ROI_IMPL,
+                            quant_scales=q_scales)
+        _, p_i, mrn_deltas = model.classify_stage(
+            params, pooled.reshape(b * r, *pooled.shape[2:]), i)
+        p_i = p_i.reshape(b, r, -1)
+        mrn_deltas = mrn_deltas.reshape(b, r, config.NUM_CLASSES, 4)
+        probs_sum = p_i if probs_sum is None else probs_sum + p_i
+        if i < stages - 1:
+            # refine the rois with the best foreground class's deltas,
+            # de-normalized by stage i's std schedule (Cascade R-CNN
+            # inference; stage-averaged classification below)
+            fg = jnp.argmax(p_i[..., 1:], axis=-1) + 1      # [B, R]
+            sel = jnp.take_along_axis(
+                mrn_deltas,
+                jnp.broadcast_to(fg[..., None, None], (b, r, 1, 4)),
+                axis=2)[:, :, 0]
+            sel = sel.astype(jnp.float32) * (std_base / (i + 1))
+            rois = box_ops.refine_boxes(rois, sel)
+            rois = box_ops.clip_boxes(rois, (0.0, 0.0, 1.0, 1.0))
+            rois = jnp.where(pvalid[..., None], rois, 0.0)
+    mrn_probs = probs_sum / stages
+    delta_std = None if stages == 1 else tuple(
+        float(s) / stages for s in config.BBOX_STD_DEV)
 
     det = jax.vmap(lambda p, v, pr, dl, win: mrn_refine(
-        config, p, v, pr, dl, win))(
-            proposals, pvalid, mrn_probs, mrn_deltas, windows)
+        config, p, v, pr, dl, win, delta_std=delta_std))(
+            rois, pvalid, mrn_probs, mrn_deltas, windows)
 
     # Mask head on final boxes normalized per axis. The reference
     # divides by h only (model.py:1188) under its square-canvas

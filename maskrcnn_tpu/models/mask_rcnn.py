@@ -69,6 +69,11 @@ class MaskRCNN:
                         fold_bn=self.config.FOLD_BN)
 
     @property
+    def cascade_stages(self) -> int:
+        """Number of box-head stages (1 = plain Mask R-CNN)."""
+        return max(1, len(self.config.CASCADE_STAGES))
+
+    @property
     def kp_head(self) -> KeypointHead:
         assert self.config.NUM_KEYPOINTS > 0
         return KeypointHead(num_keypoints=self.config.NUM_KEYPOINTS,
@@ -111,6 +116,12 @@ class MaskRCNN:
             k_kp = jax.random.fold_in(rng, 17)
             params["kp_head"] = self.kp_head.init(
                 k_kp, pooled_mask)["params"]
+        for i in range(1, self.cascade_stages):
+            # extra cascade box heads; fold_in keeps the base init
+            # bit-identical to the single-head build
+            k_i = jax.random.fold_in(rng, 100 + i)
+            params[f"box_head{i + 1}"] = self.box_head.init(
+                k_i, pooled_box)["params"]
         return params
 
     # ---- stage API ----
@@ -186,6 +197,12 @@ class MaskRCNN:
     def classify(self, params: Params, pooled: jnp.ndarray):
         """Box head over pooled [N, 7, 7, 256] (model.py:759-800)."""
         return self.box_head.apply({"params": params["box_head"]}, pooled)
+
+    def classify_stage(self, params: Params, pooled: jnp.ndarray,
+                       stage: int):
+        """Cascade stage box head (stage 0 = the base `box_head`)."""
+        key = "box_head" if stage == 0 else f"box_head{stage + 1}"
+        return self.box_head.apply({"params": params[key]}, pooled)
 
     def predict_masks(self, params: Params, pooled: jnp.ndarray):
         """Mask head over pooled [N, 14, 14, 256] (model.py:875-920).

@@ -456,6 +456,10 @@ def prepare_quant_params(model, params: Params,
         # keypoint branch stays float (bandwidth-light head on pooled
         # RoIs; same reasoning as the float box head — int8_heads_gate)
         out["kp_head"] = params["kp_head"]
+    for k in params:
+        if k.startswith("box_head") and k not in out:
+            # cascade stage heads stay float like the base box head
+            out[k] = params[k]
     return out
 
 

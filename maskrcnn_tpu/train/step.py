@@ -93,9 +93,12 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
     norm = jnp.asarray([h, w, h, w], jnp.float32)
     gt_boxes_norm = batch["gt_boxes"] / norm  # model.py:1258-1259
 
+    stage0_iou = (config.CASCADE_STAGES[0] if config.CASCADE_STAGES
+                  else 0.5)
     mrn_tgt = jax.vmap(
         lambda k, p, pv, c, bx, m, v: mrn_targets(config, k, p, pv, c, bx,
-                                                  m, v))(
+                                                  m, v,
+                                                  pos_iou=stage0_iou))(
             mrn_keys, proposals, pvalid, batch["gt_class_ids"],
             gt_boxes_norm, batch["gt_masks"], batch["gt_valid"])
     # Targets are constants w.r.t. the params — the reference detaches
@@ -105,12 +108,58 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
     mrn_tgt = jax.tree_util.tree_map(jax.lax.stop_gradient, mrn_tgt)
 
     t = config.TRAIN_ROIS_PER_IMAGE
-    pooled = _pool_rois(feats, mrn_tgt.rois, config.POOL_SIZE,
-                        config.IMAGE_SHAPE)
-    mrn_logits, _, mrn_deltas = classify_fn(
-        params, pooled.reshape(b * t, *pooled.shape[2:]))
-    mrn_logits = mrn_logits.reshape(b, t, -1)
-    mrn_deltas = mrn_deltas.reshape(b, t, config.NUM_CLASSES, 4)
+    # Cascade R-CNN (config.CASCADE_STAGES, beyond the reference): stage
+    # 0 is the reference-parity sampled head; later stages relabel the
+    # previous stage's refined boxes at rising IoU thresholds with a
+    # tightening delta-std schedule (no re-sampling past stage 0, like
+    # Detectron2's CascadeROIHeads). mrn_class/mrn_box report the SUM
+    # over stages (each stage weighted 1, per the paper).
+    stages = max(1, len(config.CASCADE_STAGES))
+    std_base = jnp.asarray(config.BBOX_STD_DEV, jnp.float32)
+    rois = mrn_tgt.rois
+    l_mrn_c = jnp.float32(0.0)
+    l_mrn_b = jnp.float32(0.0)
+    for i in range(stages):
+        if i == 0:
+            cls_fn = classify_fn
+        else:
+            cls_fn = functools.partial(model.classify_stage, stage=i)
+            if config.REMAT_HEADS:
+                cls_fn = jax.checkpoint(cls_fn)
+        pooled = _pool_rois(feats, rois, config.POOL_SIZE,
+                            config.IMAGE_SHAPE)
+        mrn_logits, mrn_probs, mrn_deltas = cls_fn(
+            params, pooled.reshape(b * t, *pooled.shape[2:]))
+        mrn_logits = mrn_logits.reshape(b, t, -1)
+        mrn_probs = mrn_probs.reshape(b, t, -1)
+        mrn_deltas = mrn_deltas.reshape(b, t, config.NUM_CLASSES, 4)
+        if i == 0:
+            tgt = mrn_tgt
+        else:
+            from maskrcnn_tpu.train.targets import cascade_targets
+            tgt = jax.vmap(
+                lambda r_, v_, c_, bx_, gv_: cascade_targets(
+                    config, r_, v_, c_, bx_, gv_,
+                    config.CASCADE_STAGES[i], std_base / (i + 1)))(
+                        rois, mrn_tgt.valid, batch["gt_class_ids"],
+                        gt_boxes_norm, batch["gt_valid"])
+            tgt = jax.tree_util.tree_map(jax.lax.stop_gradient, tgt)
+        l_mrn_c = l_mrn_c + L.mrn_class_loss(tgt.class_ids, mrn_logits,
+                                             tgt.valid)
+        l_mrn_b = l_mrn_b + L.mrn_box_loss(tgt.class_ids, tgt.deltas,
+                                           mrn_deltas, tgt.positive)
+        if i < stages - 1:
+            from maskrcnn_tpu.ops import boxes as box_ops
+            fg = jnp.argmax(mrn_probs[..., 1:], axis=-1) + 1   # [B, T]
+            sel = jnp.take_along_axis(
+                mrn_deltas,
+                jnp.broadcast_to(fg[..., None, None], (b, t, 1, 4)),
+                axis=2)[:, :, 0]
+            sel = sel.astype(jnp.float32) * (std_base / (i + 1))
+            nxt = box_ops.refine_boxes(rois, sel)
+            nxt = box_ops.clip_boxes(nxt, (0.0, 0.0, 1.0, 1.0))
+            nxt = jnp.where(mrn_tgt.valid[..., None], nxt, 0.0)
+            rois = jax.lax.stop_gradient(nxt)
 
     pooled_m = _pool_rois(feats, mrn_tgt.rois, config.MASK_POOL_SIZE,
                           config.IMAGE_SHAPE)
@@ -120,9 +169,6 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
 
     l_rpn_c = L.rpn_class_loss(rpn_tgt.rpn_match, rpn_logits)
     l_rpn_b = L.rpn_box_loss(rpn_tgt.rpn_bbox, rpn_tgt.rpn_match, rpn_bbox)
-    l_mrn_c = L.mrn_class_loss(mrn_tgt.class_ids, mrn_logits, mrn_tgt.valid)
-    l_mrn_b = L.mrn_box_loss(mrn_tgt.class_ids, mrn_tgt.deltas, mrn_deltas,
-                             mrn_tgt.positive)
     l_mask = L.mask_loss(mrn_tgt.class_ids, mrn_tgt.masks, pred_masks,
                          mrn_tgt.positive)
 

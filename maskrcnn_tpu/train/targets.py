@@ -138,7 +138,8 @@ class MRNTargets(NamedTuple):
 def mrn_targets(config: Config, key, proposals: jnp.ndarray,
                 proposal_valid: jnp.ndarray, gt_class_ids: jnp.ndarray,
                 gt_boxes: jnp.ndarray, gt_masks: jnp.ndarray,
-                gt_valid: jnp.ndarray) -> MRNTargets:
+                gt_valid: jnp.ndarray,
+                pos_iou: float = 0.5) -> MRNTargets:
     """Single-image head targets (reference: model.py:396-576 mrn_samples).
 
     proposals: [R, 4] normalized; gt_boxes: [G, 4] normalized;
@@ -163,7 +164,7 @@ def mrn_targets(config: Config, key, proposals: jnp.ndarray,
     overlaps = _masked_iou(proposals, gt_boxes, is_instance)  # [R, G]
     roi_iou_max = jnp.max(overlaps, axis=1, initial=0.0)
 
-    pos_bool = (roi_iou_max >= 0.5) & proposal_valid
+    pos_bool = (roi_iou_max >= pos_iou) & proposal_valid
     pos_keep = _random_keep(k_pos, pos_bool, p_cap)
     n_pos = pos_keep.sum()
 
@@ -172,7 +173,7 @@ def mrn_targets(config: Config, key, proposals: jnp.ndarray,
              .astype(jnp.int32) - n_pos)
     n_neg = jnp.where(n_pos > 0, n_neg, 0)  # model.py:516 requires pos>0
     n_neg = jnp.minimum(n_neg, t - p_cap)
-    neg_bool = (roi_iou_max < 0.5) & no_crowd & proposal_valid
+    neg_bool = (roi_iou_max < pos_iou) & no_crowd & proposal_valid
     neg_keep = _random_keep(k_neg, neg_bool, n_neg)
 
     idx = jnp.arange(r)
@@ -222,6 +223,52 @@ def mrn_targets(config: Config, key, proposals: jnp.ndarray,
     return MRNTargets(rois=rois, class_ids=class_ids, deltas=deltas,
                       masks=masks, valid=valid, positive=positive,
                       gt_assignment=assignment_t)
+
+
+class CascadeTargets(NamedTuple):
+    class_ids: jnp.ndarray   # [T] int32 (0 = background)
+    deltas: jnp.ndarray      # [T, 4] float32 (positives only)
+    valid: jnp.ndarray       # [T] bool: contributes to the class loss
+    positive: jnp.ndarray    # [T] bool: contributes to the box loss
+
+
+def cascade_targets(config: Config, rois: jnp.ndarray,
+                    roi_valid: jnp.ndarray, gt_class_ids: jnp.ndarray,
+                    gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray,
+                    pos_iou: float, std) -> CascadeTargets:
+    """Single-image relabeling for a cascade stage > 0 (Cai &
+    Vasconcelos 2018; no reference equivalent — the reference has no
+    cascade).
+
+    rois: [T, 4] normalized — the previous stage's refined boxes; no
+    re-sampling happens past stage 0, every carried RoI is relabeled at
+    the stage's higher IoU threshold. std: this stage's delta
+    normalization (BBOX_STD_DEV / (stage + 1)).
+    """
+    is_crowd = (gt_class_ids < 0) & gt_valid
+    is_instance = (gt_class_ids > 0) & gt_valid
+
+    crowd_iou = _masked_iou(rois, gt_boxes, is_crowd)
+    no_crowd = jnp.max(crowd_iou, axis=1, initial=0.0) < 0.001
+
+    overlaps = _masked_iou(rois, gt_boxes, is_instance)        # [T, G]
+    roi_iou_max = jnp.max(overlaps, axis=1, initial=0.0)
+    assignment = jnp.argmax(
+        jnp.where(is_instance[None, :], overlaps, -1.0), axis=1)
+
+    positive = (roi_iou_max >= pos_iou) & roi_valid
+    # negatives keep the crowd-exclusion rule of the stage-0 sampler
+    valid = roi_valid & (positive | no_crowd)
+    class_ids = jnp.where(
+        positive, gt_class_ids[assignment], 0).astype(jnp.int32)
+
+    deltas = box_ops.box_deltas(rois, gt_boxes[assignment])
+    deltas = deltas / jnp.asarray(std, jnp.float32)
+    deltas = jnp.where(positive[:, None],
+                       jnp.nan_to_num(deltas, nan=0.0, posinf=0.0,
+                                      neginf=0.0), 0.0)
+    return CascadeTargets(class_ids=class_ids, deltas=deltas,
+                          valid=valid, positive=positive)
 
 
 def keypoint_targets(config: Config, rois: jnp.ndarray,

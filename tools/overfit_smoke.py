@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--cascade", action="store_true",
+                    help="train the 3-stage Cascade R-CNN variant "
+                         "(CASCADE_STAGES=(0.5, 0.6, 0.7))")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +82,8 @@ def main():
 
     enable_compile_cache()
     cfg = TinyConfig(DETECTION_MIN_CONFIDENCE=0.0)
+    if args.cascade:
+        cfg = cfg.replace(CASCADE_STAGES=(0.5, 0.6, 0.7))
     model = MaskRCNN(cfg)
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.RandomState(args.seed)
