@@ -96,6 +96,16 @@ def main():
                         "reports the OKS keypoint AP. A two-head "
                         "checkpoint loads with the new head at its "
                         "init weights.")
+    parser.add_argument("--soft-nms", required=False, default=0.0,
+                        type=float, metavar="SIGMA",
+                        help="evaluate with gaussian Soft-NMS at this "
+                        "sigma instead of hard detection NMS "
+                        "(config.DETECTION_SOFT_NMS_SIGMA; 0 = off)")
+    parser.add_argument("--tta", action="store_true",
+                        help="evaluate with horizontal-flip test-time "
+                        "augmentation: two box passes (canvas + "
+                        "x-mirror) NMS-merged, masks from the "
+                        "un-flipped features (config.TTA_HFLIP)")
     args = parser.parse_args()
     print("Command: ", args.command)
     print("Model: ", args.model)
@@ -121,7 +131,9 @@ def main():
         config = CocoInferenceConfig(NUM_DEVICES=n_dev,
                                      SP_DEVICES=args.sp,
                                      DEVICE_MASK_DECODE=False,
-                                     NUM_KEYPOINTS=args.keypoints)
+                                     NUM_KEYPOINTS=args.keypoints,
+                                     TTA_HFLIP=args.tta,
+                                     DETECTION_SOFT_NMS_SIGMA=args.soft_nms)
     config.display()
 
     if args.command == "train":

@@ -213,6 +213,20 @@ class Config:
     # throughput knob with no reference equivalent (the reference
     # asserts a square multiple-of-64 shape at model.py:978-983).
     IMAGE_CANVAS: Tuple[int, int] = None  # type: ignore[assignment]
+    # Horizontal-flip test-time augmentation: the box pipeline runs on
+    # the canvas AND its x-mirror, the mirrored detections are mapped
+    # back and the union is NMS-merged; masks/keypoints come from the
+    # un-flipped features on the merged boxes
+    # (detection/pipeline.detect_and_pool_masks_tta). ~1.8x the cost of
+    # a single pass for a small AP gain; the reference has no TTA.
+    TTA_HFLIP: bool = False
+    # Gaussian Soft-NMS sigma for the final detection refinement
+    # (Bodla et al. 2017; ops/nms.soft_nms_scores). 0.0 keeps the
+    # reference's hard per-class NMS; a typical value is 0.5. Survivors
+    # carry their decayed scores, thresholded at
+    # max(DETECTION_MIN_CONFIDENCE, 1e-3). RPN proposal NMS is
+    # unaffected (the protocol only changes the detection stage).
+    DETECTION_SOFT_NMS_SIGMA: float = 0.0
 
     # ---- computed attributes (reference: config.py:145-164) ----
     @property

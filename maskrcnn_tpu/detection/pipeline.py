@@ -127,13 +127,36 @@ def mrn_refine(config: Config, proposals: jnp.ndarray,
     sboxes = boxes[order]
     sclasses = class_ids[order]
     svalid = keep[order]
+    d = config.DETECTION_MAX_INSTANCES
+
+    if config.DETECTION_SOFT_NMS_SIGMA > 0:
+        # Gaussian Soft-NMS protocol (opt-in; the reference only has
+        # hard NMS). The class-offset trick zeroes cross-class IoU, so
+        # decay never crosses classes; `iters=d` selections suffice
+        # because only the top-d survivors are kept anyway.
+        offset = (sclasses.astype(sboxes.dtype)[:, None]
+                  * (float(max(h, w)) + 2.0))
+        final = nms_ops.soft_nms_scores(
+            sboxes + offset, jnp.maximum(masked_scores[order], 0.0),
+            svalid, config.DETECTION_SOFT_NMS_SIGMA, iters=d)
+        floor = max(config.DETECTION_MIN_CONFIDENCE, 1e-3)
+        fvalid = svalid & (final >= floor)
+        fscores = jnp.where(fvalid, final, -1.0)
+        take = jnp.argsort(-fscores)[:d]
+        valid = fvalid[take]
+        return Detections(
+            class_ids=jnp.where(valid, sclasses[take], 0)
+            .astype(jnp.int32),
+            scores=jnp.where(valid, final[take], 0.0),
+            boxes=jnp.where(valid[:, None], sboxes[take], 0.0),
+            valid=valid)
+
     nms_keep = nms_ops.multiclass_nms_mask(
         sboxes, sclasses, svalid, config.DETECTION_NMS_THRESHOLD,
         coord_span=float(max(h, w)), impl=config.NMS_IMPL)
 
     # Top DETECTION_MAX_INSTANCES by score (model.py:1478-1480); the
     # sorted survivors are already in score order.
-    d = config.DETECTION_MAX_INSTANCES
     rank = jnp.where(nms_keep, jnp.arange(r), r + jnp.arange(r))
     take = jnp.argsort(rank)[:d]
     valid = nms_keep[take]
@@ -192,15 +215,15 @@ def _pool_rois(feature_maps, boxes, pool_size, image_shape,
     return jax.vmap(per_image)(mrn_feats, boxes)
 
 
-def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
-                          windows: jnp.ndarray):
-    """Pipeline prefix up to (and including) the mask-head RoIAlign:
-    normalize -> backbone -> RPN -> proposals -> box head -> refine ->
-    mask RoI pool. Returns (det, pooled_m [B, D, 14, 14, C]).
+def detect_boxes(model: MaskRCNN, params, images: jnp.ndarray,
+                 windows: jnp.ndarray):
+    """Box pipeline prefix: normalize -> backbone -> RPN -> proposals ->
+    (cascade) box head -> detection refinement.
 
-    Split out of predict_step so quant.py can calibrate the mask head's
-    activation scales on the SAME pooled features production will feed
-    it (quant.calibrate_heads)."""
+    Returns (feats, det, q_scales): the FPN maps and per-level int8
+    scales are handed back so the caller can pool mask features from
+    them (detect_and_pool_masks) or merge several detection sets first
+    (detect_and_pool_masks_tta)."""
     config = model.config
     h, w = config.IMAGE_SHAPE[:2]
 
@@ -258,16 +281,112 @@ def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
     det = jax.vmap(lambda p, v, pr, dl, win: mrn_refine(
         config, p, v, pr, dl, win, delta_std=delta_std))(
             rois, pvalid, mrn_probs, mrn_deltas, windows)
+    return feats, det, q_scales
 
-    # Mask head on final boxes normalized per axis. The reference
-    # divides by h only (model.py:1188) under its square-canvas
-    # assumption — identical to [h, w, h, w] when h == w, and the
-    # per-axis form stays correct for rectangular IMAGE_CANVAS.
+
+def _pool_mask_features(model: MaskRCNN, feats, det: Detections,
+                        q_scales):
+    """Mask-head RoIAlign on final detection boxes.
+
+    Boxes are normalized per axis. The reference divides by h only
+    (model.py:1188) under its square-canvas assumption — identical to
+    [h, w, h, w] when h == w, and the per-axis form stays correct for
+    rectangular IMAGE_CANVAS."""
+    config = model.config
+    h, w = config.IMAGE_SHAPE[:2]
     mask_rois = det.boxes / jnp.asarray([h, w, h, w], jnp.float32)
-    pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
-                          config.IMAGE_SHAPE, impl=config.ROI_IMPL,
-                          quant_scales=q_scales)
-    return det, pooled_m
+    return _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
+                      config.IMAGE_SHAPE, impl=config.ROI_IMPL,
+                      quant_scales=q_scales)
+
+
+def detect_and_pool_masks(model: MaskRCNN, params, images: jnp.ndarray,
+                          windows: jnp.ndarray):
+    """Pipeline prefix up to (and including) the mask-head RoIAlign:
+    normalize -> backbone -> RPN -> proposals -> box head -> refine ->
+    mask RoI pool. Returns (det, pooled_m [B, D, 14, 14, C]).
+
+    Split out of predict_step so quant.py can calibrate the mask head's
+    activation scales on the SAME pooled features production will feed
+    it (quant.calibrate_heads)."""
+    feats, det, q_scales = detect_boxes(model, params, images, windows)
+    return det, _pool_mask_features(model, feats, det, q_scales)
+
+
+def flip_windows(windows: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Mirror [B, 4] (y1, x1, y2, x2) canvas windows about canvas W."""
+    return jnp.stack([windows[:, 0], w - windows[:, 3],
+                      windows[:, 2], w - windows[:, 1]], axis=-1)
+
+
+def flip_boxes(boxes: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Mirror [..., 4] (y1, x1, y2, x2) boxes about canvas width w.
+
+    x2 is exclusive (mask-extent max index + 1, data/coco.py box
+    build), so a box spanning columns [x1, x2) maps to [w-x2, w-x1)."""
+    return jnp.stack([boxes[..., 0], w - boxes[..., 3],
+                      boxes[..., 2], w - boxes[..., 1]], axis=-1)
+
+
+def merge_detections(config: Config, a: Detections,
+                     b: Detections) -> Detections:
+    """Merge two per-image detection sets with per-class NMS.
+
+    Both sets are [B, D] slots in the SAME (un-flipped) coordinate
+    frame; the union is re-sorted by score, deduplicated with the same
+    class-offset NMS the single-pass refinement uses, and cut back to
+    the top DETECTION_MAX_INSTANCES slots."""
+    h, w = config.IMAGE_SHAPE[:2]
+    boxes = jnp.concatenate([a.boxes, b.boxes], axis=1)
+    scores = jnp.concatenate([a.scores, b.scores], axis=1)
+    class_ids = jnp.concatenate([a.class_ids, b.class_ids], axis=1)
+    valid = jnp.concatenate([a.valid, b.valid], axis=1)
+    d = config.DETECTION_MAX_INSTANCES
+
+    def per_image(bx, sc, ci, va):
+        n = bx.shape[0]
+        masked = jnp.where(va, sc, -1.0)
+        order = jnp.argsort(-masked)
+        sb, ss, sc_ids, sv = bx[order], masked[order], ci[order], va[order]
+        keep = nms_ops.multiclass_nms_mask(
+            sb, sc_ids, sv, config.DETECTION_NMS_THRESHOLD,
+            coord_span=float(max(h, w)), impl=config.NMS_IMPL)
+        rank = jnp.where(keep, jnp.arange(n), n + jnp.arange(n))
+        take = jnp.argsort(rank)[:d]
+        v = keep[take]
+        return Detections(
+            class_ids=jnp.where(v, sc_ids[take], 0).astype(jnp.int32),
+            scores=jnp.where(v, ss[take], 0.0),
+            boxes=jnp.where(v[:, None], sb[take], 0.0),
+            valid=v)
+
+    return jax.vmap(per_image)(boxes, scores, class_ids, valid)
+
+
+def detect_and_pool_masks_tta(model: MaskRCNN, params,
+                              images: jnp.ndarray, windows: jnp.ndarray):
+    """Horizontal-flip test-time augmentation (config.TTA_HFLIP).
+
+    The box pipeline runs twice — once on the canvas and once on its
+    x-mirror — the mirrored detections are mapped back and the union is
+    merged with per-class NMS (merge_detections). Mask features are
+    pooled ONCE, from the un-flipped pass's FPN maps on the merged
+    boxes, so the mask head costs the same as a single pass. The
+    reference has no TTA; this is the standard Detectron-style flip
+    ensemble, shaped for XLA: both passes are the same static program,
+    so the jit cache holds one executable and the flip is a free
+    device-side reverse."""
+    config = model.config
+    w = int(config.IMAGE_SHAPE[1])
+    feats, det, q_scales = detect_boxes(model, params, images, windows)
+    det_f = detect_boxes(model, params, images[:, :, ::-1],
+                         flip_windows(windows, w))[1]
+    det_f = Detections(class_ids=det_f.class_ids, scores=det_f.scores,
+                       boxes=jnp.where(det_f.valid[..., None],
+                                       flip_boxes(det_f.boxes, w), 0.0),
+                       valid=det_f.valid)
+    det = merge_detections(config, det, det_f)
+    return det, _pool_mask_features(model, feats, det, q_scales)
 
 
 def decode_keypoints(config: Config, kp_logits: jnp.ndarray,
@@ -306,7 +425,9 @@ def predict_step(model: MaskRCNN, params, images: jnp.ndarray,
     config = model.config
     h, w = config.IMAGE_SHAPE[:2]
 
-    det, pooled_m = detect_and_pool_masks(model, params, images, windows)
+    run = (detect_and_pool_masks_tta if config.TTA_HFLIP
+           else detect_and_pool_masks)
+    det, pooled_m = run(model, params, images, windows)
     b, d = pooled_m.shape[:2]
     mask_probs = model.predict_masks(
         params, pooled_m.reshape(b * d, *pooled_m.shape[2:]))

@@ -13,7 +13,8 @@ from maskrcnn_tpu.ops.boxes import (box_area, box_deltas, box_iou,
                                     refine_boxes, scale_boxes)
 from maskrcnn_tpu.ops.image import normalize_image, resize_and_pad
 from maskrcnn_tpu.ops.mask_paste import paste_masks
-from maskrcnn_tpu.ops.nms import (multiclass_nms_mask, nms_mask, nms_topk)
+from maskrcnn_tpu.ops.nms import (multiclass_nms_mask, nms_mask,
+                                  nms_topk, soft_nms_scores)
 from maskrcnn_tpu.ops.roi_align import (crop_and_resize,
                                         multilevel_roi_align, roi_levels)
 
@@ -22,6 +23,6 @@ __all__ = [
     "box_area", "box_deltas", "box_iou", "clip_boxes", "decode_boxes",
     "encode_boxes", "refine_boxes", "scale_boxes",
     "normalize_image", "resize_and_pad", "paste_masks",
-    "multiclass_nms_mask", "nms_mask", "nms_topk",
+    "multiclass_nms_mask", "nms_mask", "nms_topk", "soft_nms_scores",
     "crop_and_resize", "multilevel_roi_align", "roi_levels",
 ]

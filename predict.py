@@ -31,11 +31,18 @@ parser.add_argument("-model", type=str, default=COCO_MODEL_PATH,
                     help=f"trained model [{COCO_MODEL_PATH}]")
 parser.add_argument("-output", type=str, default=None,
                     help="save the rendered overlay to this path")
+parser.add_argument("-tta", action="store_true",
+                    help="horizontal-flip test-time augmentation "
+                    "(two box passes, NMS-merged; config.TTA_HFLIP)")
+parser.add_argument("-soft-nms", type=float, default=0.0, metavar="S",
+                    help="gaussian Soft-NMS sigma instead of hard "
+                    "detection NMS (0 = off)")
 parser.add_argument("image", type=str, help="image file")
 
 if __name__ == "__main__":
     args = parser.parse_args()
-    config = CocoInferenceConfig()
+    config = CocoInferenceConfig(
+        TTA_HFLIP=args.tta, DETECTION_SOFT_NMS_SIGMA=args.soft_nms)
 
     detector = Detector(config)
     if os.path.exists(args.model):

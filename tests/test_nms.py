@@ -112,3 +112,60 @@ def test_multiclass_nms_equals_per_class_loop(rng):
         kept_c = np_nms(sdets[ix], 0.3)
         expected |= set(ix[kept_c].tolist())
     assert set(np.where(keep)[0].tolist()) == expected
+
+
+def np_soft_nms(boxes, scores, valid, sigma, iters):
+    """Oracle of the Bodla et al. gaussian Soft-NMS select-and-decay
+    loop (same +1-area IoU as np_nms)."""
+    n = len(boxes)
+    scores = scores.astype(np.float64).copy()
+    y1, x1, y2, x2 = boxes.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    done = np.zeros(n, bool)
+    final = np.zeros(n)
+    for _ in range(iters):
+        cand = np.where(done | ~valid, -np.inf, scores)
+        i = int(np.argmax(cand))
+        if not np.isfinite(cand[i]):
+            break
+        final[i] = scores[i]
+        done[i] = True
+        yy1 = np.maximum(y1[i], y1)
+        xx1 = np.maximum(x1[i], x1)
+        yy2 = np.minimum(y2[i], y2)
+        xx2 = np.minimum(x2[i], x2)
+        inter = (np.maximum(0.0, xx2 - xx1 + 1)
+                 * np.maximum(0.0, yy2 - yy1 + 1))
+        iou = inter / (areas[i] + areas - inter)
+        scores = np.where(done, scores,
+                          scores * np.exp(-(iou ** 2) / sigma))
+    return final
+
+
+def test_soft_nms_matches_oracle(rng):
+    n = 64
+    dets = rand_dets(rng, n)
+    valid = np.ones(n, bool)
+    valid[-5:] = False
+    for sigma, iters in ((0.5, n), (0.5, 10), (0.1, 20)):
+        want = np_soft_nms(dets[:, :4], dets[:, 4], valid, sigma, iters)
+        got = np.asarray(N.soft_nms_scores(
+            jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]),
+            jnp.asarray(valid), sigma, iters))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+        # invalid rows never get a score
+        assert (got[~valid] == 0).all()
+
+
+def test_soft_nms_isolated_boxes_keep_scores(rng):
+    # far-apart boxes never decay each other: soft-NMS returns the
+    # input scores for every selected box
+    n = 8
+    boxes = np.stack([np.arange(n) * 100.0, np.arange(n) * 100.0,
+                      np.arange(n) * 100.0 + 10,
+                      np.arange(n) * 100.0 + 10], axis=-1)
+    scores = rng.rand(n).astype(np.float32)
+    got = np.asarray(N.soft_nms_scores(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.ones(n, bool), 0.5, n))
+    np.testing.assert_allclose(got, scores, rtol=1e-6)

@@ -119,3 +119,37 @@ def test_predict_step_smoke(rng):
                           axis=-1).astype(bool)
     assert masks.shape == (1, cfg.DETECTION_MAX_INSTANCES, d, d)
     assert not masks[0][~valid[0]].any()
+
+
+def test_mrn_refine_soft_nms_contract(rng):
+    """Soft-NMS protocol (config.DETECTION_SOFT_NMS_SIGMA > 0):
+    survivors are score-sorted, duplicate boxes of one class survive
+    with decayed scores instead of disappearing, and the hard-NMS
+    survivors' top score is preserved."""
+    cfg = TinyConfig(DETECTION_SOFT_NMS_SIGMA=0.5)
+    r, k = 32, cfg.NUM_CLASSES
+    proposals = np.zeros((r, 4), np.float32)
+    proposals[:, 0] = rng.uniform(0, 0.5, r)
+    proposals[:, 1] = rng.uniform(0, 0.5, r)
+    proposals[:, 2] = proposals[:, 0] + rng.uniform(0.1, 0.4, r)
+    proposals[:, 3] = proposals[:, 1] + rng.uniform(0.1, 0.4, r)
+    valid = np.ones(r, bool)
+    logits = rng.randn(r, k).astype(np.float32) * 3
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    deltas = (rng.randn(r, k, 4) * 0.1).astype(np.float32)
+    window = np.array([0, 0, cfg.IMAGE_MAX_DIM, cfg.IMAGE_MAX_DIM],
+                      np.float32)
+
+    det = jax.jit(lambda p, v, pr, d, w: mrn_refine(cfg, p, v, pr, d, w))(
+        proposals, valid, probs, deltas, window)
+    scores = np.asarray(det.scores)
+    dvalid = np.asarray(det.valid)
+    assert (np.diff(scores[dvalid]) <= 1e-6).all()
+    assert (np.asarray(det.class_ids)[dvalid] > 0).all()
+    # decayed scores never exceed the raw classifier scores
+    raw_max = float(probs.max())
+    assert scores.max() <= raw_max + 1e-6
+    # the global argmax detection is never decayed: its score survives
+    # exactly
+    assert np.any(np.abs(scores[dvalid]
+                         - probs[:, 1:].max()) < 1e-6)
