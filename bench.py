@@ -213,17 +213,12 @@ if __name__ == "__main__":
         value, batch, cfg_name = value_q, batch_q, "int8-ptq"
     else:
         value, batch, cfg_name = value_bf16, batch_bf16, "bf16"
-    try:
-        e2e, h2d, d2h = bench_detector()
-        e2e, h2d, d2h = round(e2e, 3), round(h2d, 1), round(d2h, 1)
-    except Exception as e:
-        print(f"detector bench failed: {e}", file=sys.stderr)
-        e2e = h2d = d2h = None
-    try:
-        e2e_serving = round(bench_detector_serving(), 3)
-    except Exception as e:
-        print(f"serving bench failed: {e}", file=sys.stderr)
-        e2e_serving = None
+    # THE headline JSON line, printed and flushed the moment the device
+    # ladders finish. The optional Detector/serving sub-benches below
+    # crawl through the ~5MB/s dev-harness tunnel and can outlive the
+    # driver's timeout (round 3 lost its record exactly this way:
+    # BENCH_r03.json rc=124, parsed:null) — nothing may precede this
+    # print, and a later kill can no longer eat the metric.
     print(json.dumps({
         "metric": "e2e_inference_images_per_sec_per_chip_1024px",
         "value": round(value, 3),
@@ -237,18 +232,27 @@ if __name__ == "__main__":
         "config": cfg_name,
         "bf16_img_per_sec": round(value_bf16, 3),
         "int8_img_per_sec": round(value_q, 3),
-        # secondary: through the public Detector API incl. host
-        # preprocess + original-coordinate mask decode (the honest
-        # `coco.py evaluate` per-image cost, sans JPEG/RLE). In this
-        # dev harness it is bounded by the host<->device tunnel
-        # (~5MB moved per image, dominated by the d2h mask fetch at
-        # harness_d2h_MBps) — co-located PCIe serving tracks the
-        # headline device rate.
-        "detector_e2e_img_per_sec": e2e,
-        # same span in the serving configuration: DEVICE_RESIZE (raw
-        # pixels h2d instead of canvases) + 2-deep dispatch/fetch
-        # pipelining — what serving.BatchingDetector deploys.
-        "detector_serving_img_per_sec": e2e_serving,
-        "harness_h2d_MBps": h2d,
-        "harness_d2h_MBps": d2h,
-    }))
+    }), flush=True)
+    # Secondary tunnel-bound benches: Detector end-to-end (host
+    # preprocess + original-coordinate mask decode — the honest
+    # `coco.py evaluate` per-image span, sans JPEG/RLE) and the serving
+    # configuration (DEVICE_RESIZE + 2-deep pipelining). In this dev
+    # harness both are bounded by the host<->device tunnel (~5MB moved
+    # per image) so they characterize the harness, not the product —
+    # co-located PCIe serving tracks the headline device rate. Results
+    # go to stderr only; set BENCH_SKIP_TUNNEL=1 to skip them entirely.
+    import os
+    if os.environ.get("BENCH_SKIP_TUNNEL") != "1":
+        try:
+            e2e, h2d, d2h = bench_detector()
+            print(f"[secondary, tunnel-bound] detector_e2e={e2e:.2f} "
+                  f"img/s, h2d={h2d:.1f} MB/s, d2h={d2h:.1f} MB/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"detector bench failed: {e}", file=sys.stderr)
+        try:
+            e2e_serving = bench_detector_serving()
+            print(f"[secondary, tunnel-bound] detector_serving="
+                  f"{e2e_serving:.2f} img/s", file=sys.stderr)
+        except Exception as e:
+            print(f"serving bench failed: {e}", file=sys.stderr)

@@ -335,7 +335,13 @@ def merge_detections(config: Config, a: Detections,
     Both sets are [B, D] slots in the SAME (un-flipped) coordinate
     frame; the union is re-sorted by score, deduplicated with the same
     class-offset NMS the single-pass refinement uses, and cut back to
-    the top DETECTION_MAX_INSTANCES slots."""
+    the top DETECTION_MAX_INSTANCES slots.
+
+    With DETECTION_SOFT_NMS_SIGMA > 0 the dedup is Gaussian soft-NMS
+    (same select-and-decay + score floor as mrn_refine's soft path) —
+    a hard-NMS merge here would re-suppress the crowded-scene
+    detections soft-NMS deliberately retained in each pass (advisor
+    r3), silently degrading TTA+soft-NMS to hard-NMS behavior."""
     h, w = config.IMAGE_SHAPE[:2]
     boxes = jnp.concatenate([a.boxes, b.boxes], axis=1)
     scores = jnp.concatenate([a.scores, b.scores], axis=1)
@@ -348,6 +354,23 @@ def merge_detections(config: Config, a: Detections,
         masked = jnp.where(va, sc, -1.0)
         order = jnp.argsort(-masked)
         sb, ss, sc_ids, sv = bx[order], masked[order], ci[order], va[order]
+        if config.DETECTION_SOFT_NMS_SIGMA > 0:
+            offset = (sc_ids.astype(sb.dtype)[:, None]
+                      * (float(max(h, w)) + 2.0))
+            final = nms_ops.soft_nms_scores(
+                sb + offset, jnp.maximum(ss, 0.0), sv,
+                config.DETECTION_SOFT_NMS_SIGMA, iters=d)
+            floor = max(config.DETECTION_MIN_CONFIDENCE, 1e-3)
+            fvalid = sv & (final >= floor)
+            fscores = jnp.where(fvalid, final, -1.0)
+            take = jnp.argsort(-fscores)[:d]
+            v = fvalid[take]
+            return Detections(
+                class_ids=jnp.where(v, sc_ids[take], 0)
+                .astype(jnp.int32),
+                scores=jnp.where(v, final[take], 0.0),
+                boxes=jnp.where(v[:, None], sb[take], 0.0),
+                valid=v)
         keep = nms_ops.multiclass_nms_mask(
             sb, sc_ids, sv, config.DETECTION_NMS_THRESHOLD,
             coord_span=float(max(h, w)), impl=config.NMS_IMPL)

@@ -36,7 +36,11 @@ parser.add_argument("-tta", action="store_true",
                     "(two box passes, NMS-merged; config.TTA_HFLIP)")
 parser.add_argument("-soft-nms", type=float, default=0.0, metavar="S",
                     help="gaussian Soft-NMS sigma instead of hard "
-                    "detection NMS (0 = off)")
+                    "detection NMS (0 = off). Decayed survivors are "
+                    "dropped below DETECTION_MIN_CONFIDENCE — this CLI "
+                    "uses the eval config (0.0) so they are retained; "
+                    "with the base serving config (0.7) lower the "
+                    "confidence floor to see soft-NMS retention")
 parser.add_argument("image", type=str, help="image file")
 
 if __name__ == "__main__":

@@ -149,7 +149,16 @@ def test_mrn_refine_soft_nms_contract(rng):
     # decayed scores never exceed the raw classifier scores
     raw_max = float(probs.max())
     assert scores.max() <= raw_max + 1e-6
-    # the global argmax detection is never decayed: its score survives
-    # exactly
-    assert np.any(np.abs(scores[dvalid]
-                         - probs[:, 1:].max()) < 1e-6)
+    # the top-scoring KEPT candidate is never decayed: its score
+    # survives exactly. "Kept" mirrors mrn_refine's keep mask — rows
+    # whose argmax class is foreground and above the confidence floor
+    # (a row whose argmax is background is filtered even if some
+    # foreground column of it holds the global probs[:, 1:] max, which
+    # made the old probs[:, 1:].max() form seed-dependent).
+    row_cls = probs.argmax(1)
+    row_score = probs[np.arange(r), row_cls]
+    kept = row_cls > 0
+    if cfg.DETECTION_MIN_CONFIDENCE:
+        kept &= row_score >= cfg.DETECTION_MIN_CONFIDENCE
+    assert kept.any()
+    assert np.any(np.abs(scores[dvalid] - row_score[kept].max()) < 1e-6)

@@ -96,6 +96,36 @@ def test_merge_detections_dedup_and_order():
     assert np.abs(scores[valid] - 0.99).min() > 1e-3
 
 
+def test_merge_soft_nms_retains_decayed_duplicates():
+    """With DETECTION_SOFT_NMS_SIGMA > 0 the TTA merge must decay
+    same-class duplicates instead of hard-suppressing them (advisor r3:
+    a hard-NMS merge silently undid per-pass soft-NMS retention)."""
+    cfg = TinyConfig(DETECTION_SOFT_NMS_SIGMA=0.5,
+                     DETECTION_MIN_CONFIDENCE=0.0)
+    d = cfg.DETECTION_MAX_INSTANCES
+    z = [0.0, 0.0, 0.0, 0.0]
+    # two heavily-overlapping class-1 boxes, one per pass: hard NMS at
+    # the 0.3 threshold would drop the weaker; soft-NMS keeps it with a
+    # decayed score
+    a = _dets([[20, 20, 70, 70]] + [z] * (d - 1),
+              [0.9] + [0.0] * (d - 1),
+              [1] + [0] * (d - 1), [True] + [False] * (d - 1))
+    b = _dets([[22, 22, 72, 72]] + [z] * (d - 1),
+              [0.8] + [0.0] * (d - 1),
+              [1] + [0] * (d - 1), [True] + [False] * (d - 1))
+    hard = merge_detections(cfg.replace(DETECTION_SOFT_NMS_SIGMA=0.0),
+                            a, b)
+    soft = merge_detections(cfg, a, b)
+    assert np.asarray(hard.valid)[0].sum() == 1  # hard merge suppresses
+    svalid = np.asarray(soft.valid)[0]
+    sscores = np.asarray(soft.scores)[0]
+    assert svalid.sum() == 2                     # soft merge retains
+    # the winner keeps its exact score; the duplicate is decayed
+    assert abs(sscores[svalid].max() - 0.9) < 1e-6
+    low = sscores[svalid].min()
+    assert 0.0 < low < 0.8
+
+
 def test_merge_keeps_overlapping_other_class():
     cfg = TinyConfig()
     d = cfg.DETECTION_MAX_INSTANCES
