@@ -74,6 +74,14 @@ def main(n_requests: int = 32, int8: bool = False):
     for b in (1, 2, 4, 8):
         det.detect_batch([image] * b)
 
+    # each request moves ~3.3 MB host<->device; on the dev harness's
+    # ~6 MB/s tunnel that transfer dominates every figure below
+    # (BENCHMARKS.md "Serving latency") — re-run on a co-located host
+    # for product numbers.
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        print("NOTE: dev-harness tunnel detected — the numbers below "
+              "are tunnel-bandwidth bound, not product latency",
+              flush=True)
     for n_clients in (1, 8):
         stats = run_clients(bd, n_clients, n_requests, image)
         print({k: round(v, 2) if isinstance(v, float) else v

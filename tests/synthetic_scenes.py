@@ -1,0 +1,180 @@
+"""Multi-class synthetic scenes for trained-AP gates (VERDICT r3 item 4).
+
+The single-class gate (test_learning_ap._scene) never exercises
+COCOeval's per-category axes, per-class NMS on TRAINED score
+distributions, or crowd-ignore matching end-to-end. These scenes do:
+4 foreground classes with distinct color+shape, overlapping instances
+(later draws occlude earlier ones), and an optional iscrowd cluster
+(reference crowd semantics: negative class id in training,
+data.py:829-833; ignore region in eval, cocoeval.py:236-310).
+
+Shared by tests/test_learning_ap_multiclass.py (CPU gate),
+tools/protocol_ap_ab.py (TTA / soft-NMS / cascade AP A/B on TPU) and
+tools/build_notebook.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+# class id -> (name, RGB color). Distinct hue AND shape per class so a
+# conv net can separate them at 64px.
+CLASS_SPECS = {
+    1: ("red-rect", (220, 40, 40)),
+    2: ("green-ellipse", (40, 200, 60)),
+    3: ("blue-triangle", (60, 90, 230)),
+    4: ("yellow-diamond", (235, 210, 40)),
+}
+NUM_FG_CLASSES = len(CLASS_SPECS)
+BACKGROUND = 30
+MIN_VISIBLE_PX = 24
+
+
+def _shape_mask(class_id: int, d: int, y1: float, x1: float,
+                h: float, w: float) -> np.ndarray:
+    """Bool [d, d] mask of one instance of `class_id` with bounding
+    box (y1, x1, y1+h, x1+w)."""
+    yy, xx = np.mgrid[0:d, 0:d].astype(np.float64)
+    if class_id == 1:                     # axis-aligned rectangle
+        return (yy >= y1) & (yy < y1 + h) & (xx >= x1) & (xx < x1 + w)
+    cy, cx, ry, rx = y1 + h / 2, x1 + w / 2, h / 2, w / 2
+    if class_id == 2:                     # ellipse
+        return ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+    if class_id == 3:                     # lower-left right triangle
+        return ((yy >= y1) & (yy < y1 + h) & (xx >= x1)
+                & ((xx - x1) * h <= (yy - y1) * w))
+    if class_id == 4:                     # diamond
+        return np.abs(yy - cy) / ry + np.abs(xx - cx) / rx <= 1.0
+    raise ValueError(class_id)
+
+
+def multiclass_scene(rng, d: int, crowd: bool = None,
+                     n_instances: int = None):
+    """One scene.
+
+    Returns (img uint8 [d, d, 3], instances): each instance is a dict
+    {"class_id": int > 0, "mask": bool [d, d] of VISIBLE pixels,
+    "iscrowd": 0/1}. Later instances occlude earlier ones (their pixels
+    are subtracted from earlier masks — modal ground truth, matching
+    what the rendered image actually shows). The crowd cluster (several
+    tiny class-1 rectangles, one union mask) is drawn first so real
+    instances may occlude it.
+    """
+    img = np.full((d, d, 3), BACKGROUND, np.uint8)
+    instances = []
+    if crowd is None:
+        crowd = rng.rand() < 0.4
+
+    def draw(class_id, mask, iscrowd=0):
+        if not mask.any():
+            return
+        img[mask] = CLASS_SPECS[class_id][1]
+        for prev in instances:            # occlusion
+            prev["mask"] &= ~mask
+        instances.append({"class_id": class_id, "mask": mask,
+                          "iscrowd": iscrowd})
+
+    if crowd:
+        # a band of tiny same-class rectangles; one crowd annotation
+        cy, cx = rng.randint(2, int(d * 0.6), 2)
+        union = np.zeros((d, d), bool)
+        for _ in range(rng.randint(4, 7)):
+            oy = cy + rng.randint(0, int(d * 0.3))
+            ox = cx + rng.randint(0, int(d * 0.3))
+            s = rng.randint(max(3, d // 16), max(5, d // 9))
+            union |= _shape_mask(1, d, oy, ox, s, s)
+        draw(1, union, iscrowd=1)
+
+    n = rng.randint(2, 5) if n_instances is None else n_instances
+    for _ in range(n):
+        cid = int(rng.randint(1, NUM_FG_CLASSES + 1))
+        y1, x1 = rng.randint(2, int(d * 0.55), 2).astype(np.float64)
+        h, w = rng.randint(int(d * 0.22), int(d * 0.42), 2
+                           ).astype(np.float64)
+        draw(cid, _shape_mask(cid, d, y1, x1, min(h, d - 2 - y1),
+                              min(w, d - 2 - x1)))
+
+    # drop instances occluded to (almost) nothing
+    instances = [i for i in instances
+                 if i["mask"].sum() >= MIN_VISIBLE_PX]
+    return img, instances
+
+
+def _extent_box(mask: np.ndarray):
+    """Mask-extent box [y1, x1, y2, x2], max+1 exclusive — the same
+    convention CocoDataset.load builds (reference data.py:838-847)."""
+    rows = np.where(np.any(mask, axis=1))[0]
+    cols = np.where(np.any(mask, axis=0))[0]
+    return [float(rows[0]), float(cols[0]),
+            float(rows[-1]) + 1.0, float(cols[-1]) + 1.0]
+
+
+def multiclass_train_batch(rng, cfg, b: int):
+    """Training batch dict from multiclass scenes. Crowd instances get
+    NEGATIVE class ids (reference data.py:829-833) so the samplers
+    apply crowd exclusion."""
+    d, g = cfg.IMAGE_MAX_DIM, cfg.MAX_GT_INSTANCES
+    imgs = np.zeros((b, d, d, 3), np.uint8)
+    cls = np.zeros((b, g), np.int32)
+    boxes = np.zeros((b, g, 4), np.float32)
+    valid = np.zeros((b, g), bool)
+    masks = np.zeros((b, g, d, d), np.uint8)
+    for i in range(b):
+        imgs[i], inst = multiclass_scene(rng, d)
+        for j, it in enumerate(inst[:g]):
+            cid = -it["class_id"] if it["iscrowd"] else it["class_id"]
+            cls[i, j] = cid
+            boxes[i, j] = _extent_box(it["mask"])
+            valid[i, j] = True
+            masks[i, j] = it["mask"].astype(np.uint8)
+    return {"images": imgs, "gt_class_ids": cls, "gt_boxes": boxes,
+            "gt_masks": masks, "gt_valid": valid}
+
+
+def make_multiclass_coco_dir(tmp_path, cfg, n_images: int = 16,
+                             seed0: int = 500):
+    """Held-out eval set as an on-disk COCO-layout dataset with
+    compressed-RLE segmentations (exact for the curved/diagonal
+    shapes) and iscrowd annotations."""
+    from PIL import Image
+
+    from maskrcnn_tpu.eval import rle as rle_lib
+
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True, exist_ok=True)
+    (root / "val2014").mkdir(exist_ok=True)
+    d = cfg.IMAGE_MAX_DIM
+    images, anns = [], []
+    aid = 1
+    n_crowd = 0
+    for i in range(1, n_images + 1):
+        rng = np.random.RandomState(seed0 + i)
+        img, inst = multiclass_scene(rng, d)
+        for it in inst:
+            r = rle_lib.encode(np.asfortranarray(it["mask"]))
+            counts = r["counts"]
+            if isinstance(counts, bytes):
+                counts = counts.decode("ascii")
+            y1, x1, y2, x2 = _extent_box(it["mask"])
+            n_crowd += it["iscrowd"]
+            anns.append({
+                "id": aid, "image_id": i,
+                "category_id": it["class_id"],
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "area": float(it["mask"].sum()),
+                "iscrowd": int(it["iscrowd"]),
+                "segmentation": {"size": [d, d], "counts": counts}})
+            aid += 1
+        name = f"COCO_val2014_{i:012d}.png"   # png: exact edges
+        Image.fromarray(img).save(root / "val2014" / name)
+        images.append({"id": i, "height": d, "width": d,
+                       "file_name": name})
+    with open(root / "annotations" / "instances_minival2014.json",
+              "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": c, "name": f"c{c}"}
+                                  for c in range(1, 91)]}, f)
+    assert n_crowd > 0, "eval set must contain an iscrowd region"
+    return str(root)

@@ -22,12 +22,15 @@ cells.append(M("""\
 This walks the same road as the reference's `explore.ipynb` (FPN
 features → anchors → RPN proposals → detections → training), but
 TPU-native: every stage below is a pure jittable function over one
-params pytree. Weights here are random — substitute
-`load_torch_checkpoint("models/mask_rcnn_coco.pth")` for real
-detections; every render also lands in `output/` as a golden image.\
+params pytree. Weights come from the synthetic-trained checkpoint
+(`tools/train_synthetic_ckpt.py` — multi-class scenes, no COCO assets
+in this environment) when present, random otherwise; substitute
+`load_torch_checkpoint("models/mask_rcnn_coco.pth")` for real COCO
+detections. Every render also lands in `output/` as a golden image.\
 """))
 
 cells.append(C("""\
+import os
 import jax
 from maskrcnn_tpu.config import CocoInferenceConfig
 from maskrcnn_tpu.models.mask_rcnn import MaskRCNN
@@ -38,6 +41,12 @@ config = CocoInferenceConfig()          # NUM_CLASSES=81, min conf 0
 model = MaskRCNN(config)
 params = model.init(jax.random.PRNGKey(0))
 
+TRAINED = os.path.isdir("models/synthetic_trained")
+if TRAINED:  # tools/train_synthetic_ckpt.py output
+    from maskrcnn_tpu.checkpoint.store import load_checkpoint
+    params, step = load_checkpoint("models/synthetic_trained", params)
+    print(f"loaded synthetic-trained checkpoint (step {step})")
+
 # or convert the reference's pretrained weights:
 # from maskrcnn_tpu.checkpoint.torch_convert import load_torch_checkpoint
 # params = load_torch_checkpoint("models/mask_rcnn_coco.pth")
@@ -47,7 +56,9 @@ print(jax.devices())\
 cells.append(M("""\
 `model` is an immutable bundle of pure flax modules; `params` is one
 pytree. Nothing lives on a device until a jitted function touches it —
-the same `params` drives inference, training, and the stage calls below.\
+the same `params` drives inference, training, and the stage calls below.
+With the trained checkpoint, the demo image is a held-out scene from
+the training distribution, so every stage below shows real structure.\
 """))
 
 cells.append(C("""\
@@ -57,7 +68,10 @@ from maskrcnn_tpu.data.codecs import resize_image
 from maskrcnn_tpu.ops.image import normalize_image
 import jax.numpy as jnp
 
-img = np.asarray(Image.open("images/sample.jpg").convert("RGB"))
+demo = ("images/synthetic_scene.png"
+        if TRAINED and os.path.exists("images/synthetic_scene.png")
+        else "images/sample.jpg")   # scene matches the trained weights
+img = np.asarray(Image.open(demo).convert("RGB"))
 canvas, window, scale = resize_image(img, 800, 1024)   # PIL parity
 x = normalize_image(jnp.asarray(canvas[None]), config.MEAN_PIXEL)
 
@@ -70,9 +84,9 @@ cells.append(M("""\
 The backbone is ResNet-101 with *frozen* BatchNorm — the reference
 freezes BN at build time and keeps it in eval mode forever
 (model.py:1010-1016), so here BN is a constant per-channel affine that
-XLA fuses into the convs. Below: the mean P2 activation — with random
-weights it is structured noise following the image; with real weights it
-lights up on objects.\
+XLA fuses into the convs. Below: the mean P2 activation — with trained
+weights it lights up on the objects (with random weights it is
+structured noise following the image).\
 """))
 
 cells.append(C("""\
@@ -198,8 +212,8 @@ from maskrcnn_tpu.utils.visualize import display_instances
 det_api = Detector(config, params)
 class_ids, scores, boxes, masks = det_api.detect(img)
 if class_ids is not None:
-    print(f"{len(class_ids)} detections "
-          f"(random weights -> arbitrary classes)")
+    print(f"{len(class_ids)} detections"
+          + ("" if TRAINED else " (random weights -> arbitrary classes)"))
     from maskrcnn_tpu.data.coco import COCO_CLASS_NAMES
     display_instances(img, np.asarray(boxes), np.asarray(masks),
                       class_ids, COCO_CLASS_NAMES, scores=scores,
