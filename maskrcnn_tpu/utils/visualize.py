@@ -16,10 +16,12 @@ import numpy as np
 
 
 def random_colors(n: int, bright: bool = True, shuffle: bool = True):
-    """HSV-spread colors (reference: utils.py:294-305)."""
-    brightness = 1.0 if bright else 0.7
-    hsv = [(i / n, 1, brightness) for i in range(n)]
-    colors = [colorsys.hsv_to_rgb(*c) for c in hsv]
+    """n visually-distinct RGB tuples: evenly spaced hues at full
+    saturation, optionally shuffled so adjacent instances differ
+    (same contract as reference utils.py:294-305)."""
+    value = 1.0 if bright else 0.7
+    colors = [colorsys.hsv_to_rgb(hue, 1.0, value)
+              for hue in np.linspace(0.0, 1.0, n, endpoint=False)]
     if shuffle:
         random.shuffle(colors)
     return colors
@@ -27,13 +29,13 @@ def random_colors(n: int, bright: bool = True, shuffle: bool = True):
 
 def apply_mask(image: np.ndarray, mask: np.ndarray, color,
                alpha: float = 0.5) -> np.ndarray:
-    """Blend a color into masked pixels (reference: utils.py:307-319)."""
-    out = image.astype(np.float32).copy()
-    for c in range(3):
-        out[..., c] = np.where(
-            mask == 1,
-            out[..., c] * (1 - alpha) + alpha * color[c] * 255,
-            out[..., c])
+    """Alpha-blend `color` into the masked pixels of an RGB uint8 image
+    (same contract as reference utils.py:307-319), vectorized over the
+    channel axis."""
+    out = image.astype(np.float32)
+    inside = np.asarray(mask) == 1
+    rgb = np.asarray(color, np.float32) * 255.0
+    out[inside] = out[inside] * (1.0 - alpha) + alpha * rgb
     return out.astype(np.uint8)
 
 
