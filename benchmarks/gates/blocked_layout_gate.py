@@ -106,7 +106,8 @@ def chain_ab(tag, H, W, P, blocks=3):
     def fwdbwd(ks, x):
         def body(i, acc):
             ks_p = jax.tree_util.tree_map(
-                lambda t: t + acc[1] * 0.0, ks)  # defeat hoisting
+                lambda t: t + (acc[1] * 0.0).astype(t.dtype),
+                ks)  # defeat hoisting
             l, g = jax.value_and_grad(fwd)(ks_p, x)
             leaves = jax.tree_util.tree_leaves(g)
             gsum = sum(t.astype(jnp.float32).sum() for t in leaves)
