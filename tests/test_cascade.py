@@ -103,6 +103,36 @@ def test_cascade_predict_shapes(base_and_cascade_params):
     assert (bx >= 0).all() and (bx <= d).all()
 
 
+@pytest.mark.slow
+def test_cascade_composes_with_tta_and_soft_nms(base_and_cascade_params):
+    """All three opt-in protocols stacked: 3-stage cascade box branch,
+    flip-TTA double pass, and soft-NMS decay in both the per-pass
+    refinement and the merge. One predict_step must compile and produce
+    a coherent detection set."""
+    from maskrcnn_tpu.detection.pipeline import predict_step
+    _, pc = base_and_cascade_params
+    cfg = TinyConfig(CASCADE_STAGES=CASCADE, TTA_HFLIP=True,
+                     DETECTION_SOFT_NMS_SIGMA=0.5,
+                     DETECTION_MIN_CONFIDENCE=0.0)
+    model = MaskRCNN(cfg)
+    d = cfg.IMAGE_MAX_DIM
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (2, d, d, 3), np.uint8)
+    windows = np.asarray([[0, 0, d, d]] * 2, np.float32)
+    out = predict_step(model, pc, images, windows)
+    dmax = cfg.DETECTION_MAX_INSTANCES
+    assert out["class_ids"].shape == (2, dmax)
+    scores = np.asarray(out["scores"])
+    valid = np.asarray(out["valid"])
+    assert np.isfinite(scores).all()
+    assert (scores[valid] > 0).all()
+    # survivors are score-sorted in the slot prefix per image
+    for i in range(2):
+        assert (np.diff(scores[i][valid[i]]) <= 1e-6).all()
+    bx = np.asarray(out["boxes"])
+    assert (bx >= 0).all() and (bx <= d).all()
+
+
 def test_cascade_train_step_runs_finite():
     """Full jitted train step with the cascade config: finite losses and
     a step taken. (Random-init proposals may sample zero positive RoIs
