@@ -92,6 +92,15 @@ class Config:
     # with the stage-averaged probabilities. Mask/keypoint heads are
     # unchanged (they already run on the final detection boxes).
     CASCADE_STAGES: Tuple[float, ...] = ()
+    # Train the mask head on the LAST cascade stage's refined,
+    # relabeled RoIs instead of the stage-0 sampled RoIs (Cascade Mask
+    # R-CNN "mask at the last stage" placement). At inference the mask
+    # head always pools from the final cascade-refined detection boxes,
+    # so stage-0 mask training sees looser boxes than serving does —
+    # this closes that train/serve distribution gap. No effect without
+    # CASCADE_STAGES. Measured on the multi-class trained gate:
+    # see BENCHMARKS.md "Inference protocols".
+    CASCADE_MASK_LAST: bool = False
 
     NUM_KEYPOINTS: int = 0
     KEYPOINT_SHAPE: Tuple[int, int] = (56, 56)

@@ -161,7 +161,26 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
             nxt = jnp.where(mrn_tgt.valid[..., None], nxt, 0.0)
             rois = jax.lax.stop_gradient(nxt)
 
-    pooled_m = _pool_rois(feats, mrn_tgt.rois, config.MASK_POOL_SIZE,
+    # Mask branch RoIs: stage-0 samples by default. With
+    # CASCADE_MASK_LAST (Cascade Mask R-CNN "mask at the last stage"),
+    # the mask head instead trains on the LAST stage's refined +
+    # relabeled boxes — the distribution the serving path pools from
+    # (inference masks always pool on cascade-refined detections) —
+    # with mask targets re-cropped at those boxes.
+    mask_rois, mask_masks = mrn_tgt.rois, mrn_tgt.masks
+    mask_cls, mask_pos = mrn_tgt.class_ids, mrn_tgt.positive
+    if stages > 1 and getattr(config, "CASCADE_MASK_LAST", False):
+        from maskrcnn_tpu.ops.roi_align import indexed_crop_and_resize
+        mh = config.MASK_SHAPE[0]
+        crops = jax.vmap(
+            lambda m, r_, a_: indexed_crop_and_resize(
+                m[..., None], r_, a_, mh)[..., 0])(
+                    batch["gt_masks"], rois, tgt.assignment)
+        mask_masks = jax.lax.stop_gradient(jnp.where(
+            tgt.positive[..., None, None], jnp.round(crops), 0.0))
+        mask_rois, mask_cls, mask_pos = rois, tgt.class_ids, tgt.positive
+
+    pooled_m = _pool_rois(feats, mask_rois, config.MASK_POOL_SIZE,
                           config.IMAGE_SHAPE)
     pred_masks = masks_fn(
         params, pooled_m.reshape(b * t, *pooled_m.shape[2:]))
@@ -169,8 +188,7 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
 
     l_rpn_c = L.rpn_class_loss(rpn_tgt.rpn_match, rpn_logits)
     l_rpn_b = L.rpn_box_loss(rpn_tgt.rpn_bbox, rpn_tgt.rpn_match, rpn_bbox)
-    l_mask = L.mask_loss(mrn_tgt.class_ids, mrn_tgt.masks, pred_masks,
-                         mrn_tgt.positive)
+    l_mask = L.mask_loss(mask_cls, mask_masks, pred_masks, mask_pos)
 
     # Optional keypoint branch (Mask R-CNN paper's third task; no
     # reference equivalent). Shares the mask head's pooled RoIs.
@@ -180,9 +198,17 @@ def compute_losses(model: MaskRCNN, params, key, batch) -> L.Losses:
         # only positive RoIs carry keypoint targets, and mrn_targets
         # packs positives into the first p_cap slots by construction —
         # running the head (the costliest per-RoI compute, ~8x conv512)
-        # on that static prefix is exact and ~3x cheaper
+        # on that static prefix is exact and ~3x cheaper. With
+        # CASCADE_MASK_LAST the shared pooled_m holds last-stage boxes
+        # (whose positives are NOT prefix-packed), so the keypoint
+        # branch pools its own stage-0 prefix.
         p_cap = int(t * config.ROI_POSITIVE_RATIO)
-        pooled_kp = pooled_m[:, :p_cap]
+        if mask_rois is mrn_tgt.rois:
+            pooled_kp = pooled_m[:, :p_cap]
+        else:
+            pooled_kp = _pool_rois(feats, mrn_tgt.rois[:, :p_cap],
+                                   config.MASK_POOL_SIZE,
+                                   config.IMAGE_SHAPE)
         kp_logits = kp_fn(
             params, pooled_kp.reshape(b * p_cap, *pooled_kp.shape[2:]))
         assert kp_logits.shape[1:3] == tuple(config.KEYPOINT_SHAPE), (

@@ -230,6 +230,7 @@ class CascadeTargets(NamedTuple):
     deltas: jnp.ndarray      # [T, 4] float32 (positives only)
     valid: jnp.ndarray       # [T] bool: contributes to the class loss
     positive: jnp.ndarray    # [T] bool: contributes to the box loss
+    assignment: jnp.ndarray  # [T] int32 matched gt index (pos only)
 
 
 def cascade_targets(config: Config, rois: jnp.ndarray,
@@ -268,7 +269,9 @@ def cascade_targets(config: Config, rois: jnp.ndarray,
                        jnp.nan_to_num(deltas, nan=0.0, posinf=0.0,
                                       neginf=0.0), 0.0)
     return CascadeTargets(class_ids=class_ids, deltas=deltas,
-                          valid=valid, positive=positive)
+                          valid=valid, positive=positive,
+                          assignment=jnp.where(
+                              positive, assignment, 0).astype(jnp.int32))
 
 
 def keypoint_targets(config: Config, rois: jnp.ndarray,

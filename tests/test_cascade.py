@@ -159,6 +159,47 @@ def test_cascade_train_step_runs_finite():
     assert int(new_state.step) == 1
 
 
+def test_cascade_mask_last_train_step(base_and_cascade_params):
+    """CASCADE_MASK_LAST (Cascade Mask R-CNN mask placement): the train
+    step runs finite, and the mask-head gradients differ from the
+    default stage-0 placement on the same batch+key (the mask branch
+    really pools different boxes).
+
+    Random-init proposals rarely clear the production 0.5/0.7 IoU
+    thresholds (both arms would then have zero mask positives and
+    trivially equal zero grads), so this test runs the cascade at
+    near-zero thresholds — every stage keeps positives and the only
+    difference between the arms is the mask placement."""
+    from maskrcnn_tpu.data.pipeline import SyntheticLoader
+    from maskrcnn_tpu.train.step import compute_losses
+
+    _, params = base_and_cascade_params
+    loose = (0.01, 0.01, 0.01)
+
+    def mask_grads(cfg):
+        model = MaskRCNN(cfg)
+        batch = next(SyntheticLoader(cfg, 2))
+
+        def f(p):
+            return compute_losses(model, p, jax.random.PRNGKey(1),
+                                  batch).total
+
+        g = jax.grad(f)(params)
+        return float(f(params)), np.asarray(
+            g["mask_head"]["conv1"]["kernel"], np.float32)
+
+    t0, g0 = mask_grads(TinyConfig(CASCADE_STAGES=loose))
+    t1, g1 = mask_grads(TinyConfig(CASCADE_STAGES=loose,
+                                   CASCADE_MASK_LAST=True))
+    assert np.isfinite(t0) and np.isfinite(t1)
+    assert np.isfinite(g1).all()
+    # positives must exist in the baseline arm, else the comparison is
+    # vacuous
+    assert np.abs(g0).max() > 0
+    # same data/key: any difference must come from the mask placement
+    assert not np.allclose(g0, g1)
+
+
 def test_cascade_stage_heads_receive_gradients(base_and_cascade_params):
     """Deterministic gradient flow: a handcrafted RoI set with a known
     high-IoU positive drives every stage's class+box loss; all three
