@@ -80,6 +80,12 @@ def main():
                     help="held-out eval images")
     ap.add_argument("--json-out", default=None,
                     help="also dump the table as JSON")
+    ap.add_argument("--mask-last", action="store_true",
+                    help="add a cascade + CASCADE_MASK_LAST arm (mask "
+                    "head trained on last-stage boxes)")
+    ap.add_argument("--skip-single-protocols", action="store_true",
+                    help="only train/eval the cascade arms (A/B against "
+                    "previously recorded single-head numbers)")
     args = ap.parse_args()
 
     import jax
@@ -109,10 +115,15 @@ def main():
         b["gt_masks_packed"] = np.packbits(masks, axis=-1)
         pool.append(jax.device_put(b))
 
-    params_single = train(cfg, args, pool, "single")
     cas = (0.5, 0.6, 0.7)
+    params_single = (None if args.skip_single_protocols
+                     else train(cfg, args, pool, "single"))
     params_cascade = train(cfg.replace(CASCADE_STAGES=cas), args, pool,
                            "cascade")
+    params_ml = (train(cfg.replace(CASCADE_STAGES=cas,
+                                   CASCADE_MASK_LAST=True),
+                       args, pool, "cascade-mask-last")
+                 if args.mask_last else None)
 
     with tempfile.TemporaryDirectory() as td:
         root = make_multiclass_coco_dir(Path(td), cfg,
@@ -133,19 +144,27 @@ def main():
             return out
 
         results = {}
-        results["baseline"] = run("baseline", cfg, params_single)
-        results["tta"] = run("tta", cfg.replace(TTA_HFLIP=True),
-                             params_single)
-        results["soft-nms-0.5"] = run(
-            "soft-nms-0.5",
-            cfg.replace(DETECTION_SOFT_NMS_SIGMA=0.5), params_single)
-        results["tta+soft-nms"] = run(
-            "tta+soft-nms",
-            cfg.replace(TTA_HFLIP=True, DETECTION_SOFT_NMS_SIGMA=0.5),
-            params_single)
+        if params_single is not None:
+            results["baseline"] = run("baseline", cfg, params_single)
+            results["tta"] = run("tta", cfg.replace(TTA_HFLIP=True),
+                                 params_single)
+            results["soft-nms-0.5"] = run(
+                "soft-nms-0.5",
+                cfg.replace(DETECTION_SOFT_NMS_SIGMA=0.5), params_single)
+            results["tta+soft-nms"] = run(
+                "tta+soft-nms",
+                cfg.replace(TTA_HFLIP=True,
+                            DETECTION_SOFT_NMS_SIGMA=0.5),
+                params_single)
         results["cascade"] = run("cascade",
                                  cfg.replace(CASCADE_STAGES=cas),
                                  params_cascade)
+        if params_ml is not None:
+            # inference config is identical to the plain cascade (the
+            # flag only changes training); the trained weights differ
+            results["cascade+mask-last"] = run(
+                "cascade+mask-last", cfg.replace(CASCADE_STAGES=cas),
+                params_ml)
 
     print("\n| protocol | bbox AP / AP50 / AP75 | segm AP / AP50 / AP75 |")
     print("|---|---|---|")
@@ -160,11 +179,12 @@ def main():
         print(f"saved {args.json_out}")
 
     # the cascade's reason to exist: high-IoU localization
-    assert results["cascade"]["bbox"]["AP75"] >= \
-        results["baseline"]["bbox"]["AP75"] - 0.05, (
-            "cascade bbox AP75 regressed vs single head: "
-            f"{results['cascade']['bbox']['AP75']} vs "
-            f"{results['baseline']['bbox']['AP75']}")
+    if "baseline" in results:
+        assert results["cascade"]["bbox"]["AP75"] >= \
+            results["baseline"]["bbox"]["AP75"] - 0.05, (
+                "cascade bbox AP75 regressed vs single head: "
+                f"{results['cascade']['bbox']['AP75']} vs "
+                f"{results['baseline']['bbox']['AP75']}")
     print("PASS")
 
 
