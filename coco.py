@@ -106,7 +106,21 @@ def main():
                         "augmentation: two box passes (canvas + "
                         "x-mirror) NMS-merged, masks from the "
                         "un-flipped features (config.TTA_HFLIP)")
+    parser.add_argument("--cascade", required=False, default=None,
+                        metavar="IOUS",
+                        help="Cascade R-CNN stage IoU thresholds, e.g. "
+                        "'0.5,0.6,0.7' (config.CASCADE_STAGES). Must "
+                        "match the checkpoint's stage structure for "
+                        "evaluate; measured +11.2 bbox AP75 on the "
+                        "trained gate (BENCHMARKS.md)")
+    parser.add_argument("--cascade-mask-last", action="store_true",
+                        help="with --cascade, train the mask head on "
+                        "the LAST stage's refined boxes (Cascade Mask "
+                        "R-CNN placement; config.CASCADE_MASK_LAST — "
+                        "training-time only, +7.2 segm AP measured)")
     args = parser.parse_args()
+    cascade = (tuple(float(x) for x in args.cascade.split(","))
+               if args.cascade else ())
     print("Command: ", args.command)
     print("Model: ", args.model)
     print("Dataset: ", args.dataset)
@@ -117,7 +131,9 @@ def main():
     if args.command == "train":
         config = CocoConfig(NUM_DEVICES=n_dev, SP_DEVICES=args.sp,
                             GRAD_ACCUM_STEPS=args.grad_accum,
-                            NUM_KEYPOINTS=args.keypoints)
+                            NUM_KEYPOINTS=args.keypoints,
+                            CASCADE_STAGES=cascade,
+                            CASCADE_MASK_LAST=args.cascade_mask_last)
         assert config.BATCH_SIZE % max(args.grad_accum, 1) == 0, (
             f"BATCH_SIZE {config.BATCH_SIZE} must divide by "
             f"--grad-accum {args.grad_accum}")
@@ -133,7 +149,8 @@ def main():
                                      DEVICE_MASK_DECODE=False,
                                      NUM_KEYPOINTS=args.keypoints,
                                      TTA_HFLIP=args.tta,
-                                     DETECTION_SOFT_NMS_SIGMA=args.soft_nms)
+                                     DETECTION_SOFT_NMS_SIGMA=args.soft_nms,
+                                     CASCADE_STAGES=cascade)
     config.display()
 
     if args.command == "train":
