@@ -41,12 +41,19 @@ parser.add_argument("-soft-nms", type=float, default=0.0, metavar="S",
                     "uses the eval config (0.0) so they are retained; "
                     "with the base serving config (0.7) lower the "
                     "confidence floor to see soft-NMS retention")
+parser.add_argument("-cascade", type=str, default=None, metavar="IOUS",
+                    help="Cascade R-CNN stage IoUs, e.g. '0.5,0.6,0.7' "
+                    "(config.CASCADE_STAGES); must match the "
+                    "checkpoint's stage structure")
 parser.add_argument("image", type=str, help="image file")
 
 if __name__ == "__main__":
     args = parser.parse_args()
+    cascade = (tuple(float(x) for x in args.cascade.split(","))
+               if args.cascade else ())
     config = CocoInferenceConfig(
-        TTA_HFLIP=args.tta, DETECTION_SOFT_NMS_SIGMA=args.soft_nms)
+        TTA_HFLIP=args.tta, DETECTION_SOFT_NMS_SIGMA=args.soft_nms,
+        CASCADE_STAGES=cascade)
 
     detector = Detector(config)
     if os.path.exists(args.model):
