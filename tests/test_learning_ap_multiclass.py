@@ -33,7 +33,8 @@ from synthetic_scenes import (make_multiclass_coco_dir,
 
 from maskrcnn_tpu.config import TinyConfig
 
-STEPS = int(os.environ.get("AP_GATE_STEPS", "300"))
+STEPS = int(os.environ.get("AP_GATE_STEPS", "240"))  # = the TPU
+# protocol-gate step count (tools/protocol_ap_ab.py)
 
 
 def _config(**kw):
