@@ -200,6 +200,26 @@ def test_cascade_mask_last_train_step(base_and_cascade_params):
     assert not np.allclose(g0, g1)
 
 
+def test_cascade_mask_last_with_keypoints():
+    """CASCADE_MASK_LAST + keypoint branch: the keypoint head must keep
+    pooling its stage-0 positive PREFIX (last-stage positives are not
+    prefix-packed), so the composed step stays finite and the kp loss
+    is well-defined."""
+    from maskrcnn_tpu.data.pipeline import SyntheticLoader
+    from maskrcnn_tpu.train.step import compute_losses
+
+    cfg = TinyConfig(CASCADE_STAGES=(0.01, 0.01, 0.01),
+                     CASCADE_MASK_LAST=True, NUM_KEYPOINTS=4,
+                     KEYPOINT_HEAD_CONVS=2, KEYPOINT_HEAD_DIM=32)
+    model = MaskRCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = next(SyntheticLoader(cfg, 2))
+    losses = compute_losses(model, params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(losses.total))
+    assert np.isfinite(float(losses.mrn_kp))
+    assert np.isfinite(float(losses.mrn_mask))
+
+
 def test_cascade_stage_heads_receive_gradients(base_and_cascade_params):
     """Deterministic gradient flow: a handcrafted RoI set with a known
     high-IoU positive drives every stage's class+box loss; all three
