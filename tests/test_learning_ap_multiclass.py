@@ -15,8 +15,8 @@ as ignore regions per cocoeval.py:236-310).
 - test_trained_multiclass_ap50 (slow): full training, asserts the AP50
   floor. Measured on this harness (2026-08-20, TPU, 1024px flagship,
   240 steps — tools/protocol_ap_ab.py): bbox AP 0.476 / AP50 0.836 /
-  AP75 0.509, segm AP50 0.839. The CPU 64px variant may land lower
-  (smaller canvas, fewer anchors); floors set conservatively.
+  AP75 0.509, segm AP50 0.839. CPU 64px at 240 steps (2026-08-20):
+  bbox AP50 0.865, segm AP50 0.752; floors set conservatively.
 - test_cascade_ap75_floor (slow): trains single-head AND 3-stage
   cascade on the same scenes and asserts the cascade does not regress
   high-IoU AP — the metric cascades exist to raise (Cai & Vasconcelos
