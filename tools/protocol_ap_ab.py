@@ -86,6 +86,13 @@ def main():
     ap.add_argument("--skip-single-protocols", action="store_true",
                     help="only train/eval the cascade arms (A/B against "
                     "previously recorded single-head numbers)")
+    ap.add_argument("--skip-cascade", action="store_true",
+                    help="skip the cascade training arm")
+    ap.add_argument("--int8", action="store_true",
+                    help="add a QUANT_INT8 serving-path arm on the "
+                    "single-head weights (multi-class int8 accuracy "
+                    "evidence; calibrates on training-distribution "
+                    "scenes)")
     args = ap.parse_args()
 
     import jax
@@ -118,8 +125,9 @@ def main():
     cas = (0.5, 0.6, 0.7)
     params_single = (None if args.skip_single_protocols
                      else train(cfg, args, pool, "single"))
-    params_cascade = train(cfg.replace(CASCADE_STAGES=cas), args, pool,
-                           "cascade")
+    params_cascade = (None if args.skip_cascade
+                      else train(cfg.replace(CASCADE_STAGES=cas), args,
+                                 pool, "cascade"))
     params_ml = (train(cfg.replace(CASCADE_STAGES=cas,
                                    CASCADE_MASK_LAST=True),
                        args, pool, "cascade-mask-last")
@@ -130,8 +138,8 @@ def main():
                                         n_images=args.limit)
         ds = CocoDataset(root, "minival", 2014, cfg)
 
-        def run(name, config, params):
-            det = Detector(config, params=params)
+        def run(name, config, params, **det_kw):
+            det = Detector(config, params=params, **det_kw)
             out = {}
             for kind in ("bbox", "segm"):
                 s = evaluate_coco(det, ds, ds.coco, kind,
@@ -156,9 +164,19 @@ def main():
                 cfg.replace(TTA_HFLIP=True,
                             DETECTION_SOFT_NMS_SIGMA=0.5),
                 params_single)
-        results["cascade"] = run("cascade",
-                                 cfg.replace(CASCADE_STAGES=cas),
-                                 params_cascade)
+        if args.int8 and params_single is not None:
+            from synthetic_scenes import multiclass_scene
+            calib = np.stack([
+                multiclass_scene(np.random.RandomState(900 + i),
+                                 cfg.IMAGE_MAX_DIM)[0]
+                for i in range(4)])
+            results["int8-ptq"] = run(
+                "int8-ptq", cfg.replace(QUANT_INT8=True),
+                params_single, calib_images=calib)
+        if params_cascade is not None:
+            results["cascade"] = run("cascade",
+                                     cfg.replace(CASCADE_STAGES=cas),
+                                     params_cascade)
         if params_ml is not None:
             # inference config is identical to the plain cascade (the
             # flag only changes training); the trained weights differ
@@ -179,12 +197,18 @@ def main():
         print(f"saved {args.json_out}")
 
     # the cascade's reason to exist: high-IoU localization
-    if "baseline" in results:
+    if "baseline" in results and "cascade" in results:
         assert results["cascade"]["bbox"]["AP75"] >= \
             results["baseline"]["bbox"]["AP75"] - 0.05, (
                 "cascade bbox AP75 regressed vs single head: "
                 f"{results['cascade']['bbox']['AP75']} vs "
                 f"{results['baseline']['bbox']['AP75']}")
+    if "baseline" in results and "int8-ptq" in results:
+        assert results["int8-ptq"]["bbox"]["AP50"] >= \
+            results["baseline"]["bbox"]["AP50"] - 0.05, (
+                "int8 bbox AP50 regressed vs float: "
+                f"{results['int8-ptq']['bbox']['AP50']} vs "
+                f"{results['baseline']['bbox']['AP50']}")
     print("PASS")
 
 
