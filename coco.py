@@ -121,6 +121,12 @@ def main():
     args = parser.parse_args()
     cascade = (tuple(float(x) for x in args.cascade.split(","))
                if args.cascade else ())
+    if args.cascade_mask_last and not cascade:
+        # advisor r4: without --cascade, CASCADE_STAGES=() makes the
+        # CASCADE_MASK_LAST branch unreachable — a silent no-op that
+        # would let a user believe they trained Cascade Mask R-CNN.
+        parser.error("--cascade-mask-last requires --cascade "
+                     "(e.g. --cascade 0.5,0.6,0.7)")
     print("Command: ", args.command)
     print("Model: ", args.model)
     print("Dataset: ", args.dataset)

@@ -138,8 +138,12 @@ class Detector:
 
             # stats are only valid for the weights they were calibrated
             # on — key the cache by a content fingerprint so stats for
-            # different checkpoints never cross-contaminate
-            fp = params_fingerprint(params)
+            # different checkpoints never cross-contaminate. The clip
+            # rule changes the stats' meaning, so it keys too.
+            fp = (params_fingerprint(params)
+                  + f"|{self.config.QUANT_CALIB}"
+                  + (f":{self.config.QUANT_PERCENTILE}"
+                     if self.config.QUANT_CALIB == "percentile" else ""))
             path = self._calib_stats_path
             stats = self._load_calib_stats(path, fp)
             if stats is None:

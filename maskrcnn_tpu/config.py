@@ -184,6 +184,25 @@ class Config:
     # the kernel DMAs the bf16 maps even when the backbone is int8
     # (the accuracy-conservative A/B arm for tools/parity_bisect).
     QUANT_INT8_ROI: bool = True
+    # Activation-scale calibration method (quant.calibrate):
+    #   "amax"       - plain per-tensor max-abs (the r4 default; fast,
+    #                  but one outlier activation inflates the scale and
+    #                  collapses resolution for the bulk of the range);
+    #   "percentile" - clip at the QUANT_PERCENTILE-th percentile of
+    #                  |x| (outlier-robust; saturates the tail);
+    #   "mse"        - per-tensor clip minimizing quantization MSE over
+    #                  a calibration subsample (grid search).
+    # Measured on the multiclass trained gate (r5,
+    # benchmarks/int8_multiclass_ab_r5.json): percentile/mse recover
+    # the bbox AP75 the amax scales lose.
+    QUANT_CALIB: str = "amax"
+    QUANT_PERCENTILE: float = 99.9
+    # Stage groups kept FLOAT inside an otherwise-int8 pipeline
+    # (subset of {"C2","C3","C4","C5","FPN","RPN","MASK"}): their convs
+    # run in COMPUTE_DTYPE from the same prepared tree. The per-stage
+    # accuracy ablation (tools/int8_ablation_gate.py) uses this to
+    # attribute int8's AP cost to specific stages.
+    QUANT_SKIP: Tuple[str, ...] = ()
     # Gradient accumulation: split each train step's batch into this
     # many sequential micro-batches, average the gradients, apply ONE
     # optimizer update. Batches must arrive micro-stacked
@@ -229,6 +248,16 @@ class Config:
     # (detection/pipeline.detect_and_pool_masks_tta). ~1.8x the cost of
     # a single pass for a small AP gain; the reference has no TTA.
     TTA_HFLIP: bool = False
+    # TTA matched-pair box fusion: before the merge NMS, every
+    # detection's coordinates become the score-weighted average of
+    # same-class boxes from BOTH passes with IoU >= this threshold
+    # (itself included), so the flip ensemble averages localization
+    # noise instead of keeping one pass's box verbatim (the round-4
+    # winner-take-all merge cost 5.2 bbox AP75 on the protocol gate).
+    # TTA also defers mrn_refine's int-rounding quirk until after the
+    # merge so the two passes don't carry +-1px quantization jitter
+    # into the match. 0.0 restores the round-4 union-NMS merge.
+    TTA_FUSION_IOU: float = 0.5
     # Gaussian Soft-NMS sigma for the final detection refinement
     # (Bodla et al. 2017; ops/nms.soft_nms_scores). 0.0 keeps the
     # reference's hard per-class NMS; a typical value is 0.5. Survivors

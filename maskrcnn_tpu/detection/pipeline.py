@@ -89,7 +89,7 @@ def rpn_refine_scores(config: Config, anchors: jnp.ndarray,
 def mrn_refine(config: Config, proposals: jnp.ndarray,
                proposal_valid: jnp.ndarray, probs: jnp.ndarray,
                deltas: jnp.ndarray, window: jnp.ndarray,
-               delta_std=None) -> Detections:
+               delta_std=None, round_boxes: bool = True) -> Detections:
     """Detection refinement (reference: model.py:1389-1487), single image.
 
     proposals: [R, 4] normalized; probs: [R, K]; deltas: [R, K, 4];
@@ -97,6 +97,10 @@ def mrn_refine(config: Config, proposals: jnp.ndarray,
     delta_std: override for the delta de-normalization (the cascade's
     last stage trains with a tighter std schedule); None keeps the
     reference behavior.
+    round_boxes: keep the reference's round-to-int quirk (model.py:1432).
+    The TTA path defers rounding until after the cross-pass merge so the
+    two passes don't carry +-1px quantization jitter into box fusion
+    (single-pass behavior is unchanged: default True).
     """
     r, num_classes = probs.shape
     class_ids = jnp.argmax(probs, axis=1)
@@ -112,9 +116,10 @@ def mrn_refine(config: Config, proposals: jnp.ndarray,
     h, w = config.IMAGE_SHAPE[:2]
     boxes = refined * jnp.asarray([h, w, h, w], jnp.float32)
     boxes = box_ops.clip_boxes(boxes, window)
-    # Round to ints before NMS (model.py:1432) — a reference quirk kept
-    # for score parity.
-    boxes = jnp.round(boxes)
+    if round_boxes:
+        # Round to ints before NMS (model.py:1432) — a reference quirk
+        # kept for score parity.
+        boxes = jnp.round(boxes)
 
     keep = proposal_valid & (class_ids > 0)
     if config.DETECTION_MIN_CONFIDENCE:
@@ -216,14 +221,15 @@ def _pool_rois(feature_maps, boxes, pool_size, image_shape,
 
 
 def detect_boxes(model: MaskRCNN, params, images: jnp.ndarray,
-                 windows: jnp.ndarray):
+                 windows: jnp.ndarray, round_boxes: bool = True):
     """Box pipeline prefix: normalize -> backbone -> RPN -> proposals ->
     (cascade) box head -> detection refinement.
 
     Returns (feats, det, q_scales): the FPN maps and per-level int8
     scales are handed back so the caller can pool mask features from
     them (detect_and_pool_masks) or merge several detection sets first
-    (detect_and_pool_masks_tta)."""
+    (detect_and_pool_masks_tta, which passes round_boxes=False to keep
+    sub-pixel coordinates for the cross-pass box fusion)."""
     config = model.config
     h, w = config.IMAGE_SHAPE[:2]
 
@@ -279,7 +285,8 @@ def detect_boxes(model: MaskRCNN, params, images: jnp.ndarray,
         float(s) / stages for s in config.BBOX_STD_DEV)
 
     det = jax.vmap(lambda p, v, pr, dl, win: mrn_refine(
-        config, p, v, pr, dl, win, delta_std=delta_std))(
+        config, p, v, pr, dl, win, delta_std=delta_std,
+        round_boxes=round_boxes))(
             rois, pvalid, mrn_probs, mrn_deltas, windows)
     return feats, det, q_scales
 
@@ -330,10 +337,20 @@ def flip_boxes(boxes: jnp.ndarray, w: int) -> jnp.ndarray:
 
 def merge_detections(config: Config, a: Detections,
                      b: Detections) -> Detections:
-    """Merge two per-image detection sets with per-class NMS.
+    """Merge two per-image detection sets with box fusion + per-class NMS.
 
     Both sets are [B, D] slots in the SAME (un-flipped) coordinate
-    frame; the union is re-sorted by score, deduplicated with the same
+    frame. With TTA_FUSION_IOU > 0 (default 0.5) each detection's
+    coordinates are first replaced by the score-weighted average of all
+    same-class boxes (itself included) with IoU >= the threshold — the
+    standard Detectron-style flip-TTA coordinate ensemble, written as
+    one fixed-shape masked matmul. Matched flip pairs thereby average
+    their localization noise instead of keeping one pass's box verbatim;
+    a detection found by only one pass keeps its own coordinates
+    exactly (self-weight s_i / s_i), and when both passes emit the same
+    box the fusion is the identity, so the merge degrades to exactly
+    the reference's single per-class NMS (model.py:1454-1475).
+    Then the union is re-sorted by score, deduplicated with the same
     class-offset NMS the single-pass refinement uses, and cut back to
     the top DETECTION_MAX_INSTANCES slots.
 
@@ -341,7 +358,13 @@ def merge_detections(config: Config, a: Detections,
     (same select-and-decay + score floor as mrn_refine's soft path) —
     a hard-NMS merge here would re-suppress the crowded-scene
     detections soft-NMS deliberately retained in each pass (advisor
-    r3), silently degrading TTA+soft-NMS to hard-NMS behavior."""
+    r3), silently degrading TTA+soft-NMS to hard-NMS behavior.
+    Known composition quirk (advisor r4): the per-pass scores entering
+    this merge are ALREADY soft-NMS-decayed by mrn_refine, so intra-pass
+    neighbor pairs get a second exp(-iou^2/sigma) decay here. The A/B
+    gate measures the composition as AP-neutral, but composed
+    TTA+soft-NMS scores are NOT calibration-comparable to single-pass
+    soft-NMS scores."""
     h, w = config.IMAGE_SHAPE[:2]
     boxes = jnp.concatenate([a.boxes, b.boxes], axis=1)
     scores = jnp.concatenate([a.scores, b.scores], axis=1)
@@ -352,6 +375,17 @@ def merge_detections(config: Config, a: Detections,
     def per_image(bx, sc, ci, va):
         n = bx.shape[0]
         masked = jnp.where(va, sc, -1.0)
+        if config.TTA_FUSION_IOU > 0:
+            # Score-weighted coordinate fusion over same-class matches.
+            # The class-offset trick zeroes cross-class IoU so the
+            # match mask never crosses classes.
+            off = ci.astype(jnp.float32)[:, None] * (float(max(h, w)) + 2.0)
+            iou = nms_ops._iou_plus_one(bx.astype(jnp.float32) + off)
+            match = (iou >= config.TTA_FUSION_IOU) & va[None, :] & va[:, None]
+            wgt = jnp.where(match, jnp.maximum(masked, 0.0)[None, :], 0.0)
+            wsum = wgt.sum(axis=1, keepdims=True)
+            fused = (wgt @ bx.astype(jnp.float32)) / jnp.maximum(wsum, 1e-8)
+            bx = jnp.where(va[:, None] & (wsum > 0), fused, bx)
         order = jnp.argsort(-masked)
         sb, ss, sc_ids, sv = bx[order], masked[order], ci[order], va[order]
         if config.DETECTION_SOFT_NMS_SIGMA > 0:
@@ -401,14 +435,22 @@ def detect_and_pool_masks_tta(model: MaskRCNN, params,
     device-side reverse."""
     config = model.config
     w = int(config.IMAGE_SHAPE[1])
-    feats, det, q_scales = detect_boxes(model, params, images, windows)
+    # Sub-pixel boxes through both passes (round_boxes=False): the
+    # reference's int-rounding quirk would add +-1px cross-pass jitter
+    # that the box fusion would otherwise average INTO the result.
+    # Rounding is applied once, after the merge, so the output contract
+    # (integral pixel coords) matches the single-pass path.
+    feats, det, q_scales = detect_boxes(model, params, images, windows,
+                                        round_boxes=False)
     det_f = detect_boxes(model, params, images[:, :, ::-1],
-                         flip_windows(windows, w))[1]
+                         flip_windows(windows, w), round_boxes=False)[1]
     det_f = Detections(class_ids=det_f.class_ids, scores=det_f.scores,
                        boxes=jnp.where(det_f.valid[..., None],
                                        flip_boxes(det_f.boxes, w), 0.0),
                        valid=det_f.valid)
     det = merge_detections(config, det, det_f)
+    det = det._replace(boxes=jnp.where(det.valid[..., None],
+                                       jnp.round(det.boxes), 0.0))
     return det, _pool_mask_features(model, feats, det, q_scales)
 
 

@@ -74,13 +74,32 @@ class _Ctx:
     dtype: Any                     # compute dtype for float tensors
     fp: Optional[Params] = None    # calib: folded float fpn tree
     tree: Optional[Params] = None  # int8: {"convs", "acts", "stem"}
-    stats: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    stats: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # calib: also record a strided |x| subsample of ~this many elements
+    # per tensor (0 = amax only) — feeds the percentile / MSE clip
+    # search in `calibrate` (Config.QUANT_CALIB)
+    calib_sample: int = 0
 
     # -- activation quantization ------------------------------------
     def qt(self, name: str, x: jnp.ndarray):
-        """Quantize tensor `x` (int8 mode) or record its amax (calib)."""
+        """Quantize tensor `x` (int8 mode) or record its stats (calib).
+
+        int8 mode: a name absent from the acts tree means its consumer
+        conv is in a Config.QUANT_SKIP group — the tensor passes
+        through float and `conv` takes its float fallback path.
+        """
         if self.mode == "calib":
-            self.stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            ax = jnp.abs(x.astype(jnp.float32))
+            amax = jnp.max(ax)
+            if self.calib_sample > 0:
+                flat = ax.ravel()
+                stride = max(1, flat.shape[0] // self.calib_sample)
+                self.stats[name] = {"amax": amax,
+                                    "sample": flat[::stride]}
+            else:
+                self.stats[name] = amax
+            return x
+        if name not in self.tree["acts"]:
             return x
         s = self.tree["acts"][name]
         return QT(quantize_tensor(x, s), s)
@@ -90,13 +109,20 @@ class _Ctx:
              relu: bool = False, fp_override: Optional[Params] = None):
         """One (possibly quantized) conv + bias (+ ReLU).
 
-        `x` is a QT in int8 mode, a float tensor in calib mode.
+        `x` is a QT in int8 mode, a float tensor in calib mode. In int8
+        mode a FLOAT `x` (its qt name is in a QUANT_SKIP group) runs the
+        float conv from the tree's `convs_fp` entry instead.
         `fp_override` supplies float weights living outside the fpn tree
-        (the RPN shared conv) in calib mode.
+        (the RPN shared conv) in calib mode and for skipped groups.
         """
         dn = ("NHWC", "HWIO", "NHWC")
-        if self.mode == "calib":
-            p = fp_override if fp_override is not None else _get(self.fp, path)
+        if self.mode == "calib" or not isinstance(x, QT):
+            if self.mode == "calib":
+                p = (fp_override if fp_override is not None
+                     else _get(self.fp, path))
+            else:
+                p = (self.tree.get("convs_fp", {}).get(path)
+                     or fp_override)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), p["kernel"].astype(self.dtype),
                 strides, padding, dimension_numbers=dn)
@@ -280,6 +306,45 @@ def _conv_paths(config: Config):
     return paths
 
 
+def _group_of(name: str) -> str:
+    """Map a conv path OR activation name to its Config.QUANT_SKIP
+    stage group. Activation names group by their CONSUMING conv:
+    C{i}_out / P{i}_pre feed the FPN lateral/smoothing convs."""
+    if name.startswith("resnet/"):
+        return name.split("/")[1]            # C2..C5
+    if name.startswith("rpn/"):
+        return "RPN"
+    if name.startswith("mask_head/"):
+        return "MASK"
+    return "FPN"                             # P*_conv*, C*_out, P*_pre
+
+
+def _search_clip(amax: float, sample: np.ndarray, method: str,
+                 percentile: float) -> float:
+    """Pick the activation clip value for one tensor.
+
+    sample: pooled |x| subsample across calibration batches (one-sided;
+    ReLU inputs dominate and symmetric int8 treats |x| anyway).
+    "percentile": the p-th percentile of |x| — outlier-robust.
+    "mse": grid search (64 log-spaced candidates in [amax/50, amax])
+    minimizing quantization MSE on the subsample — the standard
+    TensorRT-style calibration, cheap because it runs on a subsample.
+    """
+    amax = max(float(amax), 1e-6)
+    if method == "percentile":
+        # floor at amax/50: a near-empty (ReLU-sparse) tensor's
+        # percentile can be ~0, which would saturate EVERY nonzero
+        # activation — cap the implied saturation range instead
+        return max(float(np.percentile(sample, percentile)),
+                   amax / 50.0, 1e-6)
+    assert method == "mse", method
+    cands = np.geomspace(amax / 50.0, amax, 64)
+    s = cands / 127.0                                   # [C]
+    q = np.clip(np.round(sample[None, :] / s[:, None]), 0, 127) * s[:, None]
+    mse = np.mean((sample[None, :] - q) ** 2, axis=1)   # [C]
+    return max(float(cands[int(np.argmin(mse))]), 1e-6)
+
+
 def _quantize_kernel(entry: Params) -> Params:
     k = np.asarray(entry["kernel"], np.float32)
     amax = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)), 1e-8)  # [O]
@@ -289,12 +354,19 @@ def _quantize_kernel(entry: Params) -> Params:
             "bias": jnp.asarray(np.asarray(entry["bias"], np.float32))}
 
 
+def _calib_sample_size(config: Config) -> int:
+    """Subsample size per tensor per calibration step: 0 (amax-only)
+    unless the clip search needs a distribution."""
+    return 0 if config.QUANT_CALIB == "amax" else 65536
+
+
 def _calib_step(model, folded_fpn: Params, rpn_params: Params,
                 images: jnp.ndarray):
-    """One jitted calibration forward; returns activation amax stats."""
+    """One jitted calibration forward; returns activation stats
+    (amax scalars, plus |x| subsamples for percentile/mse calib)."""
     cfg = model.config
     ctx = _Ctx(mode="calib", dtype=jnp.dtype(cfg.COMPUTE_DTYPE),
-               fp=folded_fpn)
+               fp=folded_fpn, calib_sample=_calib_sample_size(cfg))
     x = normalize_image(images, cfg.MEAN_PIXEL)
     feats = fpn_forward(cfg, ctx, x)
     rpn_scores_forward(cfg, ctx, rpn_params, feats)
@@ -349,7 +421,8 @@ def _calib_heads_step(model, folded_mh: Params, params: Params,
     cfg = model.config
     _, pooled_m = detect_and_pool_masks(model, params, images, windows)
     b, d = pooled_m.shape[:2]
-    ctx = _Ctx(mode="calib", dtype=jnp.dtype(cfg.COMPUTE_DTYPE))
+    ctx = _Ctx(mode="calib", dtype=jnp.dtype(cfg.COMPUTE_DTYPE),
+               calib_sample=_calib_sample_size(cfg))
     mask_head_forward(cfg, ctx,
                       pooled_m.reshape(b * d, *pooled_m.shape[2:]),
                       fp_mh=folded_mh)
@@ -359,12 +432,19 @@ def _calib_heads_step(model, folded_mh: Params, params: Params,
 def calibrate(model, params: Params, calib_images: np.ndarray,
               batch_size: int = 4, heads: bool = True) -> Dict[str, float]:
     """Run the float model over calibration canvases; return per-tensor
-    activation amax stats {path: float}. JSON-serializable, so serving
-    deployments can persist them (see prepare_quant_params' act_stats)
+    activation CLIP values {path: float} (scale = clip/127).
+
+    Config.QUANT_CALIB picks the clip rule: "amax" returns the running
+    max-abs (the r4 behavior — one outlier sets the whole scale);
+    "percentile"/"mse" pool an |x| subsample across batches and search
+    the clip that saturates the outlier tail (_search_clip). The
+    returned dict is JSON-serializable either way, so serving
+    deployments can persist it (see prepare_quant_params' act_stats)
     instead of re-running calibration at every startup."""
+    cfg = model.config
     calib_images = np.asarray(calib_images)
     assert calib_images.ndim == 4 and calib_images.shape[0] >= 1
-    want = tuple(model.config.IMAGE_SHAPE[:2])
+    want = tuple(cfg.IMAGE_SHAPE[:2])
     got = calib_images.shape[1:3]
     assert got == want, (
         f"calib canvases are {got}, config.IMAGE_SHAPE wants {want} — "
@@ -378,7 +458,9 @@ def calibrate(model, params: Params, calib_images: np.ndarray,
         ch, cw = want
         win = np.tile([[0.0, 0.0, ch, cw]],
                       (batch_size, 1)).astype(np.float32)
-    stats: Dict[str, float] = {}
+    sampled = _calib_sample_size(cfg) > 0
+    amaxes: Dict[str, float] = {}
+    samples: Dict[str, list] = {}
     for i in range(0, calib_images.shape[0], batch_size):
         batch = jnp.asarray(calib_images[i:i + batch_size])
         out = jax.device_get(step(folded, params["rpn"], batch))
@@ -387,7 +469,21 @@ def calibrate(model, params: Params, calib_images: np.ndarray,
                 params, batch, jnp.asarray(win[:batch.shape[0]])))
             out = dict(out, **hout)
         for k, v in out.items():
-            stats[k] = max(stats.get(k, 0.0), float(v))
+            if sampled:
+                amaxes[k] = max(amaxes.get(k, 0.0), float(v["amax"]))
+                samples.setdefault(k, []).append(np.asarray(v["sample"]))
+            else:
+                amaxes[k] = max(amaxes.get(k, 0.0), float(v))
+    if not sampled:
+        return amaxes
+    stats: Dict[str, float] = {}
+    rng = np.random.RandomState(0)
+    for k, amax in amaxes.items():
+        pool = np.concatenate(samples[k])
+        if pool.size > 262144:  # bound the mse grid's host memory
+            pool = pool[rng.choice(pool.size, 262144, replace=False)]
+        stats[k] = _search_clip(amax, pool, cfg.QUANT_CALIB,
+                                cfg.QUANT_PERCENTILE)
     return stats
 
 
@@ -414,37 +510,48 @@ def prepare_quant_params(model, params: Params,
         assert calib_images is not None, \
             "pass calib_images or precomputed act_stats"
         act_stats = calibrate(model, params, calib_images, batch_size)
+    skip = set(model.config.QUANT_SKIP)
+    assert skip <= {"C2", "C3", "C4", "C5", "FPN", "RPN", "MASK"}, skip
     folded = fold_bn_params(params["fpn"])
     acts = {k: jnp.float32(max(v, 1e-6) / 127.0)
-            for k, v in act_stats.items()}
-    convs = {p: _quantize_kernel(_get(folded, p)) for p in _conv_paths(
-        model.config)}
-    convs["rpn/conv_shared"] = _quantize_kernel(
-        params["rpn"]["conv_shared"])
+            for k, v in act_stats.items() if _group_of(k) not in skip}
+
+    def _float_entry(entry: Params) -> Params:
+        return {"kernel": jnp.asarray(np.asarray(entry["kernel"],
+                                                 np.float32)),
+                "bias": jnp.asarray(np.asarray(entry["bias"],
+                                               np.float32))}
+
+    convs, convs_fp = {}, {}
+    for p in _conv_paths(model.config):
+        if _group_of(p) in skip:
+            convs_fp[p] = _float_entry(_get(folded, p))
+        else:
+            convs[p] = _quantize_kernel(_get(folded, p))
+    if "RPN" not in skip:
+        convs["rpn/conv_shared"] = _quantize_kernel(
+            params["rpn"]["conv_shared"])
+    # (a skipped RPN needs no convs_fp entry: rpn_scores_forward passes
+    # the float kernel as fp_override)
     stem = _get(folded, "resnet/C1_conv")
     quant_tree = {
         "convs": convs,
+        "convs_fp": convs_fp,
         "acts": acts,
-        "stem": {"kernel": jnp.asarray(np.asarray(stem["kernel"],
-                                                  np.float32)),
-                 "bias": jnp.asarray(np.asarray(stem["bias"],
-                                                np.float32))},
+        "stem": _float_entry(stem),
     }
     # Mask head conv1..4 int8 (deconv/conv5 float; see
     # mask_head_forward). Head activation stats exist only if
     # calibration ran the heads path; act_stats persisted by an older
     # deployment may lack them — then the mask head silently stays
     # float (predict_masks routes by key presence) rather than failing.
-    if all(k in act_stats for k in _MASK_HEAD_ACTS):
+    if all(k in act_stats for k in _MASK_HEAD_ACTS) and "MASK" not in skip:
         folded_mh = fold_bn_params(params["mask_head"])
         for i in (1, 2, 3, 4):
             convs[f"mask_head/conv{i}"] = _quantize_kernel(
                 folded_mh[f"conv{i}"])
         quant_tree["mask_head_fp"] = {
-            name: {"kernel": jnp.asarray(np.asarray(
-                       folded_mh[name]["kernel"], np.float32)),
-                   "bias": jnp.asarray(np.asarray(
-                       folded_mh[name]["bias"], np.float32))}
+            name: _float_entry(folded_mh[name])
             for name in ("deconv", "conv5")}
     out = {
         "quant": quant_tree,

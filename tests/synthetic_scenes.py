@@ -96,7 +96,13 @@ def multiclass_scene(rng, d: int, crowd: bool = None,
         draw(cid, _shape_mask(cid, d, y1, x1, min(h, d - 2 - y1),
                               min(w, d - 2 - x1)))
 
-    # drop instances occluded to (almost) nothing
+    # drop instances occluded to (almost) nothing, and repaint their
+    # residual pixels to background so image content and ground truth
+    # stay consistent (advisor r4: unannotated foreground is label
+    # noise that depresses the AP-gate floors)
+    dropped = [i for i in instances if i["mask"].sum() < MIN_VISIBLE_PX]
+    for i in dropped:
+        img[i["mask"]] = BACKGROUND
     instances = [i for i in instances
                  if i["mask"].sum() >= MIN_VISIBLE_PX]
     return img, instances

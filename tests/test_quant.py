@@ -351,3 +351,74 @@ def test_quant_with_rect_canvas():
     out = predict_step(model, qparams, imgs, windows)
     assert out["masks_packed"].shape[2:] == (64, 128 // 8)
     assert bool(np.all(np.isfinite(np.asarray(out["scores"]))))
+
+
+def test_calib_method_percentile_and_mse(setup):
+    """QUANT_CALIB percentile/mse return clips <= amax that still give
+    a working int8 pipeline with RPN scores correlated to float
+    (VERDICT r4 #2: amax calibration collapsed bbox AP75)."""
+    cfg, model, params, imgs = setup
+    stats_amax = quant.calibrate(model, params, imgs)
+    for method in ("percentile", "mse"):
+        m = MaskRCNN(cfg.replace(QUANT_CALIB=method))
+        stats = quant.calibrate(m, params, imgs)
+        assert set(stats) == set(stats_amax)
+        for k, v in stats.items():
+            assert 0 < v <= stats_amax[k] + 1e-6, (method, k, v)
+        # at least some tensors actually clip below amax
+        tighter = sum(1 for k in stats
+                      if stats[k] < 0.999 * stats_amax[k])
+        assert tighter >= len(stats) // 4, (method, tighter, len(stats))
+
+        qparams = quant.prepare_quant_params(m, params, act_stats=stats)
+        qcfg = cfg.replace(QUANT_INT8=True, QUANT_CALIB=method)
+        qmodel = MaskRCNN(qcfg)
+        x = normalize_image(jnp.asarray(imgs), cfg.MEAN_PIXEL)
+        s_f, _ = jax.jit(model.rpn_scores)(
+            params, jax.jit(model.backbone)(params, x))
+        s_q, _ = jax.jit(qmodel.rpn_scores)(
+            qparams, jax.jit(qmodel.backbone)(qparams, x))
+        corr = np.corrcoef(np.asarray(s_f).ravel(),
+                           np.asarray(s_q).ravel())[0, 1]
+        assert corr > 0.99, (method, corr)
+
+
+def test_quant_skip_groups(setup):
+    """Config.QUANT_SKIP keeps the named stage groups float inside the
+    int8 pipeline: skipped convs live in convs_fp, their act scales are
+    absent, and skipping EVERY group reproduces the float backbone
+    almost exactly (only f32-vs-compute-dtype rounding remains)."""
+    cfg, model, params, imgs = setup
+    stats = quant.calibrate(model, params, imgs)
+
+    skip_cfg = cfg.replace(QUANT_SKIP=("C4", "C5", "MASK"))
+    m = MaskRCNN(skip_cfg)
+    qp = quant.prepare_quant_params(m, params, act_stats=stats)
+    convs, convs_fp = qp["quant"]["convs"], qp["quant"]["convs_fp"]
+    assert any(p.startswith("resnet/C4/") for p in convs_fp)
+    assert all(not p.startswith(("resnet/C4/", "resnet/C5/"))
+               for p in convs)
+    assert "mask_head/conv1" not in convs  # float mask-head routing
+    assert all(not k.startswith(("resnet/C4/", "resnet/C5/"))
+               for k in qp["quant"]["acts"])
+    # pipeline runs under the skip config
+    qcfg = skip_cfg.replace(QUANT_INT8=True)
+    windows = jnp.asarray([[0, 0, 128, 128]] * 2, jnp.float32)
+    out = jax.device_get(predict_step(MaskRCNN(qcfg), qp,
+                                      jnp.asarray(imgs), windows))
+    assert np.isfinite(out["scores"]).all()
+
+    # skip-all == float backbone (up to compute-dtype rounding)
+    all_skip = cfg.replace(
+        QUANT_SKIP=("C2", "C3", "C4", "C5", "FPN", "RPN", "MASK"))
+    mall = MaskRCNN(all_skip)
+    qp_all = quant.prepare_quant_params(mall, params, act_stats=stats)
+    assert not qp_all["quant"]["convs"]
+    x = normalize_image(jnp.asarray(imgs), cfg.MEAN_PIXEL)
+    feats_f = jax.jit(model.backbone)(params, x)
+    feats_s = jax.jit(MaskRCNN(all_skip.replace(QUANT_INT8=True))
+                      .backbone)(qp_all, x)
+    for f, s in zip(feats_f, feats_s):
+        np.testing.assert_allclose(np.asarray(f, np.float32),
+                                   np.asarray(s, np.float32),
+                                   rtol=0.1, atol=0.05)

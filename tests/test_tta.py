@@ -62,6 +62,91 @@ def _dets(boxes, scores, class_ids, valid):
                       valid=pad(np.asarray(valid, bool)))
 
 
+def test_merge_fuses_matched_pair_coordinates():
+    """Matched same-class cross-pass boxes must average their
+    coordinates (score-weighted), not keep the winner's verbatim
+    (VERDICT r4 #1: winner-take-all merge cost 5.2 bbox AP75)."""
+    cfg = TinyConfig()
+    d = cfg.DETECTION_MAX_INSTANCES
+    z = [0.0, 0.0, 0.0, 0.0]
+    # same object seen by the two passes with 4px localization jitter
+    a = _dets([[20, 20, 60, 60]] + [z] * (d - 1),
+              [0.9] + [0.0] * (d - 1),
+              [1] + [0] * (d - 1), [True] + [False] * (d - 1))
+    b = _dets([[24, 24, 64, 64]] + [z] * (d - 1),
+              [0.6] + [0.0] * (d - 1),
+              [1] + [0] * (d - 1), [True] + [False] * (d - 1))
+    m = merge_detections(cfg, a, b)
+    valid = np.asarray(m.valid)[0]
+    assert valid.sum() == 1  # fused pair dedups to one box
+    got = np.asarray(m.boxes)[0][valid][0]
+    want = (0.9 * np.asarray([20, 20, 60, 60])
+            + 0.6 * np.asarray([24, 24, 64, 64])) / 1.5
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # winner's score is kept
+    assert abs(np.asarray(m.scores)[0][valid][0] - 0.9) < 1e-6
+
+    # TTA_FUSION_IOU=0 restores the round-4 winner-take-all merge
+    m0 = merge_detections(cfg.replace(TTA_FUSION_IOU=0.0), a, b)
+    v0 = np.asarray(m0.valid)[0]
+    np.testing.assert_allclose(np.asarray(m0.boxes)[0][v0][0],
+                               [20, 20, 60, 60])
+
+
+def test_merge_fusion_identity_when_passes_agree():
+    """When both passes emit identical boxes the fusion is the identity
+    and the merge degrades to exactly the plain per-class NMS."""
+    cfg = TinyConfig()
+    d = cfg.DETECTION_MAX_INSTANCES
+    z = [0.0, 0.0, 0.0, 0.0]
+    bx = [[10, 10, 40, 40], [60, 60, 90, 90]]
+    a = _dets(bx + [z] * (d - 2), [0.9, 0.7] + [0.0] * (d - 2),
+              [1, 2] + [0] * (d - 2), [True, True] + [False] * (d - 2))
+    m = merge_detections(cfg, a, a)
+    valid = np.asarray(m.valid)[0]
+    assert valid.sum() == 2
+    got = sorted(np.asarray(m.boxes)[0][valid].tolist())
+    np.testing.assert_allclose(got, sorted([list(map(float, b))
+                                            for b in bx]))
+
+
+def test_merge_fusion_singleton_keeps_own_coords():
+    """A detection found by only one pass keeps its coordinates exactly
+    (self-weight s_i cancels)."""
+    cfg = TinyConfig()
+    d = cfg.DETECTION_MAX_INSTANCES
+    z = [0.0, 0.0, 0.0, 0.0]
+    a = _dets([[20, 20, 60, 60]] + [z] * (d - 1),
+              [0.37] + [0.0] * (d - 1),
+              [1] + [0] * (d - 1), [True] + [False] * (d - 1))
+    empty = _dets([z] * d, [0.0] * d, [0] * d, [False] * d)
+    m = merge_detections(cfg, a, empty)
+    valid = np.asarray(m.valid)[0]
+    assert valid.sum() == 1
+    np.testing.assert_allclose(np.asarray(m.boxes)[0][valid][0],
+                               [20, 20, 60, 60])
+
+
+def test_merge_fusion_never_crosses_classes():
+    """Overlapping boxes of different classes must not fuse."""
+    cfg = TinyConfig()
+    d = cfg.DETECTION_MAX_INSTANCES
+    z = [0.0, 0.0, 0.0, 0.0]
+    a = _dets([[20, 20, 60, 60]] + [z] * (d - 1),
+              [0.9] + [0.0] * (d - 1),
+              [1] + [0] * (d - 1), [True] + [False] * (d - 1))
+    b = _dets([[22, 22, 62, 62]] + [z] * (d - 1),
+              [0.8] + [0.0] * (d - 1),
+              [2] + [0] * (d - 1), [True] + [False] * (d - 1))
+    m = merge_detections(cfg, a, b)
+    valid = np.asarray(m.valid)[0]
+    assert valid.sum() == 2
+    boxes = np.asarray(m.boxes)[0][valid]
+    scores = np.asarray(m.scores)[0][valid]
+    np.testing.assert_allclose(boxes[np.argmax(scores)], [20, 20, 60, 60])
+    np.testing.assert_allclose(boxes[np.argmin(scores)], [22, 22, 62, 62])
+
+
 def test_merge_detections_dedup_and_order():
     cfg = TinyConfig()
     d = cfg.DETECTION_MAX_INSTANCES
@@ -159,12 +244,18 @@ def test_predict_step_tta_smoke_and_union(rng):
                           axis=-1).astype(bool)
     assert not masks[0][~valid[0]].any()
 
-    # every TTA detection must come from the union of the two passes
+    # every TTA detection must come from the union of the two passes:
+    # its score from one pass verbatim, its (fused) box inside the
+    # coordinate envelope of that pass-union (box fusion averages
+    # matched boxes, so each coordinate is a convex combination; +-1
+    # slack for the post-merge rounding). Union computed with
+    # round_boxes=False to match the TTA-internal passes.
     ji = jnp.asarray(images)
     jw = jnp.asarray(windows)
-    det_a = jax.jit(lambda p, im, w: detect_boxes(model, p, im, w)[1])(
-        params, ji, jw)
-    det_b = jax.jit(lambda p, im, w: detect_boxes(model, p, im, w)[1])(
+    det_a = jax.jit(lambda p, im, w: detect_boxes(
+        model, p, im, w, round_boxes=False)[1])(params, ji, jw)
+    det_b = jax.jit(lambda p, im, w: detect_boxes(
+        model, p, im, w, round_boxes=False)[1])(
         params, ji[:, :, ::-1], flip_windows(jw, d))
     union_boxes = np.concatenate(
         [np.asarray(det_a.boxes),
@@ -174,11 +265,13 @@ def test_predict_step_tta_smoke_and_union(rng):
     union_valid = np.concatenate(
         [np.asarray(det_a.valid), np.asarray(det_b.valid)], axis=1)
     for i in range(2):
+        lo = union_boxes[i][union_valid[i]].min(axis=0) - 1.0
+        hi = union_boxes[i][union_valid[i]].max(axis=0) + 1.0
         for j in np.where(valid[i])[0]:
             score = np.asarray(out["scores"])[i, j]
             box = np.asarray(out["boxes"])[i, j]
             cand = np.where(union_valid[i]
                             & (np.abs(union_scores[i] - score) < 1e-3))[0]
             assert cand.size, f"TTA score {score} not in either pass"
-            err = np.abs(union_boxes[i][cand] - box).max(axis=-1)
-            assert err.min() <= 2.0, "TTA box matches neither pass"
+            assert (box >= lo).all() and (box <= hi).all(), \
+                "TTA fused box outside the pass-union envelope"

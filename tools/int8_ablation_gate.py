@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""int8 accuracy ablation: attack the AP75 collapse (VERDICT r4 #2).
+
+Round 4 measured the int8 serving path's SPEED per stage
+(benchmarks/gates/int8_backbone_stage_gate.py) and its accuracy only
+once, with plain amax calibration on 4 synthetic frames:
+bbox AP75 0.335 vs float 0.509 — a 17-point collapse the headline
+172.5 img/s silently carries. This gate measures where the accuracy
+goes and what recovers it, on the SAME trained weights:
+
+  arm 1  float            reference accuracy
+  arm 2  amax-4f          r4 repro: amax clip, 4 calib frames
+  arm 3  amax-32f         more calibration data, same clip rule
+  arm 4  pct-32f          99.9th-percentile clip (Config.QUANT_CALIB)
+  arm 5  mse-32f          MSE-optimal clip (TensorRT-style grid search)
+  arm 6+ stage ablation   Config.QUANT_SKIP one group at a time on the
+                          WEAKEST config (amax-4f) + a QUANT_INT8_ROI=0
+                          arm — attributes the remaining AP75 cost
+
+All quantized arms share the serving graph; percentile/mse clips cost
+NOTHING at inference time (same kernels, different scale constants), so
+any recovery they buy is free throughput-wise.
+
+    python tools/int8_ablation_gate.py --load-params /tmp/ap_ab_params \
+        [--steps 240] [--limit 16] [--skip-ablation] \
+        [--json-out benchmarks/int8_multiclass_ab_r5.json]
+
+Pairs with tools/protocol_ap_ab.py --save-params (identical training
+recipe; reference accuracy context: model.py:1389-1487 runs float
+always — the reference has no quantized path at all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--limit", type=int, default=16)
+    ap.add_argument("--load-params", default=None, metavar="DIR",
+                    help="reuse protocol_ap_ab --save-params weights "
+                    "(DIR/single.pkl); trains from scratch if absent")
+    ap.add_argument("--skip-ablation", action="store_true",
+                    help="only run the calibration-method arms")
+    ap.add_argument("--calib-frames", type=int, default=32)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/maskrcnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from synthetic_scenes import (make_multiclass_coco_dir,
+                                  multiclass_scene)
+
+    from maskrcnn_tpu.api import Detector
+    from maskrcnn_tpu.config import CocoInferenceConfig
+    from maskrcnn_tpu.data.coco import CocoDataset
+    from maskrcnn_tpu.eval.evaluate import evaluate_coco
+
+    cfg = CocoInferenceConfig(DETECTION_MIN_CONFIDENCE=0.0,
+                              MAX_GT_INSTANCES=8)
+
+    params = None
+    if args.load_params:
+        p = Path(args.load_params) / "single.pkl"
+        if p.exists():
+            with open(p, "rb") as f:
+                params = pickle.load(f)
+            print(f"loaded {p}")
+    if params is None:
+        import protocol_ap_ab as pab
+        from synthetic_scenes import multiclass_train_batch
+        rng = np.random.RandomState(3)
+        pool = []
+        for _ in range(10):
+            b = multiclass_train_batch(rng, cfg, args.batch)
+            masks = b.pop("gt_masks")
+            b["gt_masks_packed"] = np.packbits(masks, axis=-1)
+            pool.append(jax.device_put(b))
+        params = pab.train(cfg, args, pool, "single")
+
+    def calib_frames(n):
+        return np.stack([
+            multiclass_scene(np.random.RandomState(900 + i),
+                             cfg.IMAGE_MAX_DIM)[0] for i in range(n)])
+
+    calib4 = calib_frames(4)          # the r4 arm's exact frames
+    calib32 = calib_frames(args.calib_frames)
+
+    with tempfile.TemporaryDirectory() as td:
+        root = make_multiclass_coco_dir(Path(td), cfg,
+                                        n_images=args.limit)
+        ds = CocoDataset(root, "minival", 2014, cfg)
+
+        results = {}
+
+        def run(name, config, calib=None):
+            t0 = time.time()
+            det = Detector(config, params=params, calib_images=calib)
+            out = {}
+            for kind in ("bbox", "segm"):
+                s = evaluate_coco(det, ds, ds.coco, kind,
+                                  limit=args.limit, batch_size=8)
+                out[kind] = dict(AP=round(float(s[0]), 3),
+                                 AP50=round(float(s[1]), 3),
+                                 AP75=round(float(s[2]), 3))
+            results[name] = out
+            print(f"{name:16s} bbox {out['bbox']}  segm {out['segm']} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+            return out
+
+        q = cfg.replace(QUANT_INT8=True)
+        run("float", cfg)
+        run("amax-4f", q, calib4)
+        run("amax-32f", q, calib32)
+        run("pct-32f", q.replace(QUANT_CALIB="percentile"), calib32)
+        run("mse-32f", q.replace(QUANT_CALIB="mse"), calib32)
+
+        if not args.skip_ablation:
+            for name, kw in [
+                    ("fp-C23", dict(QUANT_SKIP=("C2", "C3"))),
+                    ("fp-C45", dict(QUANT_SKIP=("C4", "C5"))),
+                    ("fp-FPN", dict(QUANT_SKIP=("FPN",))),
+                    ("fp-RPN", dict(QUANT_SKIP=("RPN",))),
+                    ("fp-MASK", dict(QUANT_SKIP=("MASK",))),
+                    ("fp-ROI", dict(QUANT_INT8_ROI=False))]:
+                run(f"amax-4f+{name}", q.replace(**kw), calib4)
+
+    print("\n| arm | bbox AP / AP50 / AP75 | segm AP / AP50 / AP75 |")
+    print("|---|---|---|")
+    for name, r in results.items():
+        b, s = r["bbox"], r["segm"]
+        print(f"| {name} | {b['AP']:.3f} / {b['AP50']:.3f} / "
+              f"{b['AP75']:.3f} | {s['AP']:.3f} / {s['AP50']:.3f} / "
+              f"{s['AP75']:.3f} |")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"saved {args.json_out}")
+
+    # int8 must stay within 5 AP50 points of float (the r4 floor) on
+    # its BEST calibration arm — and the gate's reason to exist: record
+    # whether any arm recovers the high-IoU regime
+    best = max((r for k, r in results.items() if k != "float"),
+               key=lambda r: r["bbox"]["AP75"])
+    print(f"best int8 bbox AP75 {best['bbox']['AP75']:.3f} "
+          f"(float {results['float']['bbox']['AP75']:.3f})")
+    assert best["bbox"]["AP50"] >= results["float"]["bbox"]["AP50"] - 0.05
+    print("PASS")
+
+
+if __name__ == "__main__":
+    main()

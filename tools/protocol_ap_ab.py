@@ -93,6 +93,14 @@ def main():
                     "single-head weights (multi-class int8 accuracy "
                     "evidence; calibrates on training-distribution "
                     "scenes)")
+    ap.add_argument("--save-params", default=None, metavar="DIR",
+                    help="pickle each trained arm's params into DIR "
+                    "(single.pkl / cascade.pkl / cascade_ml.pkl) so "
+                    "later gates — e.g. tools/int8_ablation_gate.py — "
+                    "can A/B on identical weights without retraining")
+    ap.add_argument("--load-params", default=None, metavar="DIR",
+                    help="load previously saved params instead of "
+                    "training (missing files fall back to training)")
     args = ap.parse_args()
 
     import jax
@@ -122,16 +130,35 @@ def main():
         b["gt_masks_packed"] = np.packbits(masks, axis=-1)
         pool.append(jax.device_put(b))
 
+    import pickle
+
+    def get_params(tag, fname, train_cfg, wanted):
+        if not wanted:
+            return None
+        if args.load_params:
+            p = Path(args.load_params) / fname
+            if p.exists():
+                with open(p, "rb") as f:
+                    print(f"[{tag}] loaded {p}")
+                    return pickle.load(f)
+        params = train(train_cfg, args, pool, tag)
+        if args.save_params:
+            Path(args.save_params).mkdir(parents=True, exist_ok=True)
+            with open(Path(args.save_params) / fname, "wb") as f:
+                pickle.dump(params, f)
+            print(f"[{tag}] saved {Path(args.save_params) / fname}")
+        return params
+
     cas = (0.5, 0.6, 0.7)
-    params_single = (None if args.skip_single_protocols
-                     else train(cfg, args, pool, "single"))
-    params_cascade = (None if args.skip_cascade
-                      else train(cfg.replace(CASCADE_STAGES=cas), args,
-                                 pool, "cascade"))
-    params_ml = (train(cfg.replace(CASCADE_STAGES=cas,
-                                   CASCADE_MASK_LAST=True),
-                       args, pool, "cascade-mask-last")
-                 if args.mask_last else None)
+    params_single = get_params("single", "single.pkl", cfg,
+                               not args.skip_single_protocols)
+    params_cascade = get_params("cascade", "cascade.pkl",
+                                cfg.replace(CASCADE_STAGES=cas),
+                                not args.skip_cascade)
+    params_ml = get_params("cascade-mask-last", "cascade_ml.pkl",
+                           cfg.replace(CASCADE_STAGES=cas,
+                                       CASCADE_MASK_LAST=True),
+                           args.mask_last)
 
     with tempfile.TemporaryDirectory() as td:
         root = make_multiclass_coco_dir(Path(td), cfg,
@@ -156,6 +183,12 @@ def main():
             results["baseline"] = run("baseline", cfg, params_single)
             results["tta"] = run("tta", cfg.replace(TTA_HFLIP=True),
                                  params_single)
+            # round-4 winner-take-all merge on the same weights/data:
+            # isolates the round-5 box-fusion fix from everything else
+            results["tta-no-fusion"] = run(
+                "tta-no-fusion",
+                cfg.replace(TTA_HFLIP=True, TTA_FUSION_IOU=0.0),
+                params_single)
             results["soft-nms-0.5"] = run(
                 "soft-nms-0.5",
                 cfg.replace(DETECTION_SOFT_NMS_SIGMA=0.5), params_single)
