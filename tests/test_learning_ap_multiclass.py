@@ -114,12 +114,19 @@ def test_trained_multiclass_ap50(tmp_path):
     cfg = _config()
     params = _train(cfg, STEPS)
     _, stats = _evaluate(cfg, params, tmp_path, limit=8)
-    # Floors: conservative vs the measured values (module docstring) to
-    # absorb RNG/toolchain drift.
-    assert stats["bbox"][1] >= 0.35, \
-        f"multiclass bbox AP50 {stats['bbox'][1]:.3f} < 0.35"
-    assert stats["segm"][1] >= 0.25, \
-        f"multiclass segm AP50 {stats['segm'][1]:.3f} < 0.25"
+    print(f"multiclass gate: bbox AP50 {stats['bbox'][1]:.3f} "
+          f"AP75 {stats['bbox'][2]:.3f} / segm AP50 {stats['segm'][1]:.3f} "
+          f"AP75 {stats['segm'][2]:.3f}")
+    # Floors that bite (VERDICT r4 #4): training is deterministic on
+    # these seeds (reproduced exactly across rounds — the r5 TPU gate
+    # re-measured r4's numbers to the third decimal), so the floors sit
+    # at ~80% of measured, far above a 2x regression. Measured CPU 64px
+    # 240 steps (2026-08-21, after the occluded-instance repaint):
+    # bbox AP50 0.861, segm AP50 0.752.
+    assert stats["bbox"][1] >= 0.70, \
+        f"multiclass bbox AP50 {stats['bbox'][1]:.3f} < 0.70"
+    assert stats["segm"][1] >= 0.60, \
+        f"multiclass segm AP50 {stats['segm'][1]:.3f} < 0.60"
 
 
 @pytest.mark.slow
