@@ -34,7 +34,10 @@ DEFAULT_DATASET_YEAR = "2014"
 
 def main():
     parser = argparse.ArgumentParser(
-        description="Train/Eval Mask R-CNN Model on MS COCO.")
+        description="Train/Eval Mask R-CNN Model on MS COCO.",
+        epilog="Protocol presets (throughput / box-quality / "
+        "mask-quality / balanced) with measured AP+img/s: see "
+        'README.md "Choosing an inference protocol".')
     parser.add_argument("command", metavar="<command>",
                         help="'train' or 'evaluate' on MS COCO")
     parser.add_argument("--dataset", required=True,

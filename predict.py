@@ -26,7 +26,9 @@ from maskrcnn_tpu.utils.visualize import display_instances
 ROOT_DIR = os.getcwd()
 COCO_MODEL_PATH = os.path.join(ROOT_DIR, "models/mask_rcnn_coco.pth")
 
-parser = argparse.ArgumentParser(description="Mask RCNN Predictor")
+parser = argparse.ArgumentParser(
+    description="Mask RCNN Predictor",
+    epilog="Protocol presets (throughput / box-quality / mask-quality / balanced) with measured AP+img/s: see README.md \"Choosing an inference protocol\".")
 parser.add_argument("-model", type=str, default=COCO_MODEL_PATH,
                     help=f"trained model [{COCO_MODEL_PATH}]")
 parser.add_argument("-output", type=str, default=None,

@@ -59,6 +59,14 @@ def main():
                     "(DIR/single.pkl); trains from scratch if absent")
     ap.add_argument("--skip-ablation", action="store_true",
                     help="only run the calibration-method arms")
+    ap.add_argument("--skip-calib-arms", action="store_true",
+                    help="only run the stage-ablation arms")
+    ap.add_argument("--ablate-base", default="mse",
+                    choices=("amax", "percentile", "mse"),
+                    help="calib rule under the stage-ablation arms "
+                    "(default mse — the best calib arm r5; ablating on "
+                    "the best base answers 'what do we ship', ablating "
+                    "on amax answers 'where does amax lose it')")
     ap.add_argument("--calib-frames", type=int, default=32)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -126,24 +134,31 @@ def main():
             results[name] = out
             print(f"{name:16s} bbox {out['bbox']}  segm {out['segm']} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            if args.json_out:  # incremental: survive a harness timeout
+                with open(args.json_out, "w") as f:
+                    json.dump(results, f, indent=2)
             return out
 
         q = cfg.replace(QUANT_INT8=True)
-        run("float", cfg)
-        run("amax-4f", q, calib4)
-        run("amax-32f", q, calib32)
-        run("pct-32f", q.replace(QUANT_CALIB="percentile"), calib32)
-        run("mse-32f", q.replace(QUANT_CALIB="mse"), calib32)
+        if not args.skip_calib_arms:
+            run("float", cfg)
+            run("amax-4f", q, calib4)
+            run("amax-32f", q, calib32)
+            run("pct-32f", q.replace(QUANT_CALIB="percentile"), calib32)
+            run("mse-32f", q.replace(QUANT_CALIB="mse"), calib32)
 
         if not args.skip_ablation:
+            base = q.replace(QUANT_CALIB={"amax": "amax"}.get(
+                args.ablate_base, args.ablate_base))
+            tag = f"{args.ablate_base}-32f"
             for name, kw in [
-                    ("fp-C23", dict(QUANT_SKIP=("C2", "C3"))),
-                    ("fp-C45", dict(QUANT_SKIP=("C4", "C5"))),
-                    ("fp-FPN", dict(QUANT_SKIP=("FPN",))),
+                    ("fp-ROI", dict(QUANT_INT8_ROI=False)),
                     ("fp-RPN", dict(QUANT_SKIP=("RPN",))),
+                    ("fp-C45", dict(QUANT_SKIP=("C4", "C5"))),
                     ("fp-MASK", dict(QUANT_SKIP=("MASK",))),
-                    ("fp-ROI", dict(QUANT_INT8_ROI=False))]:
-                run(f"amax-4f+{name}", q.replace(**kw), calib4)
+                    ("fp-C23", dict(QUANT_SKIP=("C2", "C3"))),
+                    ("fp-FPN", dict(QUANT_SKIP=("FPN",)))]:
+                run(f"{tag}+{name}", base.replace(**kw), calib32)
 
     print("\n| arm | bbox AP / AP50 / AP75 | segm AP / AP50 / AP75 |")
     print("|---|---|---|")

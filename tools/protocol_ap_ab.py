@@ -93,6 +93,11 @@ def main():
                     "single-head weights (multi-class int8 accuracy "
                     "evidence; calibrates on training-distribution "
                     "scenes)")
+    ap.add_argument("--arms", default=None, metavar="A,B,...",
+                    help="only evaluate these single-head arms (subset "
+                    "of baseline,tta,tta-no-fusion,soft-nms-0.5,"
+                    "tta+soft-nms); cascade arms are governed by "
+                    "--skip-cascade/--mask-last")
     ap.add_argument("--save-params", default=None, metavar="DIR",
                     help="pickle each trained arm's params into DIR "
                     "(single.pkl / cascade.pkl / cascade_ml.pkl) so "
@@ -176,27 +181,41 @@ def main():
                                  AP75=round(float(s[2]), 3))
             print(f"{name:18s} bbox {out['bbox']}  segm {out['segm']}",
                   flush=True)
+            if args.json_out:  # incremental: survive a harness timeout
+                with open(args.json_out, "w") as f:
+                    json.dump(dict(results, **{name: out}), f, indent=2)
             return out
 
         results = {}
+        wanted = (set(args.arms.split(",")) if args.arms else None)
+
+        def want(name):
+            return wanted is None or name in wanted
+
         if params_single is not None:
-            results["baseline"] = run("baseline", cfg, params_single)
-            results["tta"] = run("tta", cfg.replace(TTA_HFLIP=True),
-                                 params_single)
+            if want("baseline"):
+                results["baseline"] = run("baseline", cfg, params_single)
+            if want("tta"):
+                results["tta"] = run("tta", cfg.replace(TTA_HFLIP=True),
+                                     params_single)
             # round-4 winner-take-all merge on the same weights/data:
             # isolates the round-5 box-fusion fix from everything else
-            results["tta-no-fusion"] = run(
-                "tta-no-fusion",
-                cfg.replace(TTA_HFLIP=True, TTA_FUSION_IOU=0.0),
-                params_single)
-            results["soft-nms-0.5"] = run(
-                "soft-nms-0.5",
-                cfg.replace(DETECTION_SOFT_NMS_SIGMA=0.5), params_single)
-            results["tta+soft-nms"] = run(
-                "tta+soft-nms",
-                cfg.replace(TTA_HFLIP=True,
-                            DETECTION_SOFT_NMS_SIGMA=0.5),
-                params_single)
+            if want("tta-no-fusion"):
+                results["tta-no-fusion"] = run(
+                    "tta-no-fusion",
+                    cfg.replace(TTA_HFLIP=True, TTA_FUSION_IOU=0.0),
+                    params_single)
+            if want("soft-nms-0.5"):
+                results["soft-nms-0.5"] = run(
+                    "soft-nms-0.5",
+                    cfg.replace(DETECTION_SOFT_NMS_SIGMA=0.5),
+                    params_single)
+            if want("tta+soft-nms"):
+                results["tta+soft-nms"] = run(
+                    "tta+soft-nms",
+                    cfg.replace(TTA_HFLIP=True,
+                                DETECTION_SOFT_NMS_SIGMA=0.5),
+                    params_single)
         if args.int8 and params_single is not None:
             from synthetic_scenes import multiclass_scene
             calib = np.stack([
