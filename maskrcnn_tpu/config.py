@@ -193,9 +193,13 @@ class Config:
     #   "mse"        - per-tensor clip minimizing quantization MSE over
     #                  a calibration subsample (grid search).
     # Measured on the multiclass trained gate (r5,
-    # benchmarks/int8_multiclass_ab_r5.json): percentile/mse recover
-    # the bbox AP75 the amax scales lose.
-    QUANT_CALIB: str = "amax"
+    # benchmarks/int8_multiclass_ab_r5.json, identical serving graph
+    # for all rules): mse beats amax by +5.3 bbox AP75 / +11.4 segm
+    # AP75 and lifts bbox AP50 + segm AP above float; percentile-99.9
+    # REGRESSES (spiky activations; the tail is signal). Default is
+    # therefore "mse"; use "amax" to reproduce pre-r5 scales or reuse
+    # pre-r5 persisted stats files.
+    QUANT_CALIB: str = "mse"
     QUANT_PERCENTILE: float = 99.9
     # Stage groups kept FLOAT inside an otherwise-int8 pipeline
     # (subset of {"C2","C3","C4","C5","FPN","RPN","MASK"}): their convs

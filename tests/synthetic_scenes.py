@@ -96,13 +96,14 @@ def multiclass_scene(rng, d: int, crowd: bool = None,
         draw(cid, _shape_mask(cid, d, y1, x1, min(h, d - 2 - y1),
                               min(w, d - 2 - x1)))
 
-    # drop instances occluded to (almost) nothing, and repaint their
-    # residual pixels to background so image content and ground truth
-    # stay consistent (advisor r4: unannotated foreground is label
-    # noise that depresses the AP-gate floors)
-    dropped = [i for i in instances if i["mask"].sum() < MIN_VISIBLE_PX]
-    for i in dropped:
-        img[i["mask"]] = BACKGROUND
+    # drop instances occluded to (almost) nothing. Their residual
+    # pixels stay RENDERED (labeled background): advisor r4 suggested
+    # repainting them to background for image/GT consistency, but the
+    # r5 measurement REJECTED it — repainting moved the 64px CPU gate
+    # bbox AP50 0.865 -> 0.675 (flat holes fragment the tiny scenes
+    # harder than the residual-pixel label noise ever did) while
+    # changing nothing at 1024px, where no instance falls below
+    # MIN_VISIBLE_PX and the TPU gate reproduced its numbers exactly.
     instances = [i for i in instances
                  if i["mask"].sum() >= MIN_VISIBLE_PX]
     return img, instances

@@ -358,7 +358,8 @@ def test_calib_method_percentile_and_mse(setup):
     a working int8 pipeline with RPN scores correlated to float
     (VERDICT r4 #2: amax calibration collapsed bbox AP75)."""
     cfg, model, params, imgs = setup
-    stats_amax = quant.calibrate(model, params, imgs)
+    stats_amax = quant.calibrate(MaskRCNN(cfg.replace(
+        QUANT_CALIB="amax")), params, imgs)
     for method in ("percentile", "mse"):
         m = MaskRCNN(cfg.replace(QUANT_CALIB=method))
         stats = quant.calibrate(m, params, imgs)
