@@ -203,9 +203,14 @@ class Config:
     QUANT_PERCENTILE: float = 99.9
     # Stage groups kept FLOAT inside an otherwise-int8 pipeline
     # (subset of {"C2","C3","C4","C5","FPN","RPN","MASK"}): their convs
-    # run in COMPUTE_DTYPE from the same prepared tree. The per-stage
-    # accuracy ablation (tools/int8_ablation_gate.py) uses this to
-    # attribute int8's AP cost to specific stages.
+    # run in COMPUTE_DTYPE from the same prepared tree. Measured r5
+    # (int8_stage_ablation_r5.json + int8_fp_rpn_cost_gate.py):
+    # ("C4","C5") is the high-IoU serving preset — recovers the int8
+    # bbox AP75 collapse (0.388 -> 0.605 on the trained gate, above
+    # the float reference) for only 7% throughput (186.9 -> 173.8
+    # img/s at b32); RoI tables and mask head are accuracy-free;
+    # ("RPN",) helps less and costs more. Default () = maximum
+    # throughput.
     QUANT_SKIP: Tuple[str, ...] = ()
     # Gradient accumulation: split each train step's batch into this
     # many sequential micro-batches, average the gradients, apply ONE

@@ -95,6 +95,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="int8-PTQ backbone/RPN (quant.py; ~1.2x "
                          "throughput, accuracy gates in BENCHMARKS.md)")
+    ap.add_argument("--int8-skip", default=None, metavar="G,G",
+                    help="with --int8: stage groups kept float "
+                    "(config.QUANT_SKIP). 'C4,C5' is the measured "
+                    "high-IoU preset: bbox AP75 0.605 vs 0.388 full-"
+                    "int8 for 7%% throughput (BENCHMARKS.md)")
     ap.add_argument("--calib-stats", default=None,
                     help="JSON path persisting int8 calibration stats "
                          "across restarts (written on first launch)")
@@ -122,6 +127,9 @@ def main():
         else CocoInferenceConfig(DEVICE_RESIZE=True)
     if args.int8:
         config = config.replace(QUANT_INT8=True)
+        if args.int8_skip:
+            config = config.replace(
+                QUANT_SKIP=tuple(args.int8_skip.split(",")))
     det = Detector(config, calib_stats_path=args.calib_stats)
     if os.path.exists(args.model):
         det.load_weights(args.model)
