@@ -191,3 +191,17 @@ def test_recorded_protocol_artifacts_hold_the_signals():
     # and the mse calib rule (the r5 default) must dominate amax-4f on
     # bbox AP75 — the collapse-recovery this round shipped
     assert ab["mse-32f"]["bbox"]["AP75"] >= ab["amax-4f"]["bbox"]["AP75"]
+    # the high-IoU int8 preset (QUANT_SKIP C4/C5) must hold its
+    # recovery: bbox AP75 at least at the float reference
+    st = json.loads((bench_dir / "int8_stage_ablation_r5.json")
+                    .read_text())
+    assert st["mse-32f+fp-C45"]["bbox"]["AP75"] >= \
+        ab["float"]["bbox"]["AP75"] - 0.05
+    # converged operating point (960 steps): protocol deltas must keep
+    # their sign — TTA and soft-NMS help bbox AP at convergence too
+    conv = json.loads((bench_dir / "protocol_ap_ab_r5_converged.json")
+                      .read_text())
+    cbase = conv["baseline"]["bbox"]
+    assert conv["tta"]["bbox"]["AP"] >= cbase["AP"]
+    assert conv["soft-nms-0.5"]["bbox"]["AP"] >= cbase["AP"]
+    assert conv["tta+soft-nms"]["bbox"]["AP75"] >= cbase["AP75"] + 0.05
