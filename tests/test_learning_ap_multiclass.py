@@ -120,8 +120,10 @@ def test_trained_multiclass_ap50(tmp_path):
     # Floors that bite (VERDICT r4 #4): training is deterministic on
     # these seeds (reproduced exactly across rounds — the r5 TPU gate
     # re-measured r4's numbers to the third decimal), so the floors sit
-    # at ~80% of measured, far above a 2x regression. Measured CPU 64px
-    # 240 steps: bbox AP50 0.865, segm AP50 0.752 (r4, re-verified r5).
+    # close below measured, far above a 2x regression. Measured CPU
+    # 64px 240 steps (r5 re-run, 2026-08-21): bbox AP50 0.752, segm
+    # AP50 0.865. (The r4 record quoted the same pair bbox/segm
+    # TRANSPOSED; the r5 print in this test is the authoritative one.)
     assert stats["bbox"][1] >= 0.70, \
         f"multiclass bbox AP50 {stats['bbox'][1]:.3f} < 0.70"
     assert stats["segm"][1] >= 0.60, \
